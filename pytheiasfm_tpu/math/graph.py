@@ -1,0 +1,132 @@
+"""Graph algorithms on view graphs: MST, triplets, MFAS ordering.
+
+Re-design of `/root/reference/src/theia/math/graph/` (union-find
+`connected_components.h:60` lives in `sfm.view_graph`; Prim MST
+`minimum_spanning_tree.h:58`; `triplet_extractor.h:58`). These run on the
+host: view graphs are tiny (≤ thousands of nodes) next to the pixel data,
+and the algorithms are inherently sequential — the heavy per-edge math they
+feed (loop-rotation errors, axis projections) is batched on device.
+"""
+
+from __future__ import annotations
+
+import heapq
+
+import numpy as np
+
+__all__ = [
+    "minimum_spanning_tree",
+    "maximum_spanning_tree",
+    "extract_triplets",
+    "mfas_ordering",
+]
+
+
+def minimum_spanning_tree(edges, weights, num_nodes=None):
+    """Prim MST over an undirected graph given as parallel arrays.
+
+    Parity: `theia::MinimumSpanningTree` (`minimum_spanning_tree.h:58`).
+    `edges`: [E, 2] int array; `weights`: [E]. Returns list of edge indices
+    forming the MST of the connected component containing the smallest node
+    id (the reference also assumes a connected input).
+    """
+    edges = np.asarray(edges)
+    weights = np.asarray(weights)
+    if len(edges) == 0:
+        return []
+    nodes = np.unique(edges)
+    adj: dict[int, list[tuple[float, int, int]]] = {int(n): [] for n in nodes}
+    for e, (a, b) in enumerate(edges):
+        adj[int(a)].append((float(weights[e]), e, int(b)))
+        adj[int(b)].append((float(weights[e]), e, int(a)))
+    start = int(nodes[0])
+    visited = {start}
+    heap = list(adj[start])
+    heapq.heapify(heap)
+    out = []
+    while heap and len(visited) < len(nodes):
+        w, e, v = heapq.heappop(heap)
+        if v in visited:
+            continue
+        visited.add(v)
+        out.append(e)
+        for item in adj[v]:
+            if item[2] not in visited:
+                heapq.heappush(heap, item)
+    return out
+
+
+def maximum_spanning_tree(edges, weights, num_nodes=None):
+    """MST with negated weights — used to pick the best-supported spanning
+    tree of a view graph (`orientations_from_maximum_spanning_tree.h:50`)."""
+    return minimum_spanning_tree(edges, -np.asarray(weights), num_nodes)
+
+
+def extract_triplets(edges):
+    """All triangles in an undirected graph.
+
+    Parity: `theia::TripletExtractor` (`triplet_extractor.h:58`). Returns
+    [N, 3] array of edge-index triples (ij, jk, ik) with node triple
+    i < j < k.
+    """
+    edges = np.asarray(edges)
+    index = {}
+    adj: dict[int, set[int]] = {}
+    for e, (a, b) in enumerate(edges):
+        a, b = int(min(a, b)), int(max(a, b))
+        index[(a, b)] = e
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    triplets = []
+    for (i, j), e_ij in index.items():
+        # common neighbors k > j keep each triangle counted once
+        for k in adj[i] & adj[j]:
+            if k > j:
+                triplets.append((e_ij, index[(j, k)], index[(i, k)]))
+    return np.asarray(triplets, np.int64).reshape(-1, 3)
+
+
+def mfas_ordering(edges, weights, num_nodes):
+    """Greedy minimum-feedback-arc-set ordering of a weighted digraph.
+
+    The 1DSfM ordering heuristic (Wilson & Snavely ECCV'14) used by
+    `FilterViewPairsFromRelativeTranslation`
+    (`filter_view_pairs_from_relative_translation.cc:165`): repeatedly emit
+    the node maximizing (1 + out_weight) / (1 + in_weight).
+
+    `edges`: [E, 2] (src, dst) int array; `weights`: [E] nonneg floats.
+    Returns `order`: position of each node in the linear ordering.
+    """
+    pos_w = np.maximum(np.asarray(weights, np.float64), 0.0)
+    src = np.asarray(edges)[:, 0]
+    dst = np.asarray(edges)[:, 1]
+    win = np.zeros(num_nodes)
+    wout = np.zeros(num_nodes)
+    np.add.at(wout, src, pos_w)
+    np.add.at(win, dst, pos_w)
+    out_adj: dict[int, list[tuple[int, float]]] = {}
+    in_adj: dict[int, list[tuple[int, float]]] = {}
+    for e in range(len(src)):
+        out_adj.setdefault(int(src[e]), []).append((int(dst[e]), pos_w[e]))
+        in_adj.setdefault(int(dst[e]), []).append((int(src[e]), pos_w[e]))
+    remaining = set(range(num_nodes))
+    order = np.zeros(num_nodes, np.int64)
+    for rank in range(num_nodes):
+        # Prefer sources (no remaining incoming weight).
+        best, best_score = -1, -np.inf
+        for n in remaining:
+            if win[n] <= 1e-12:
+                best = n
+                break
+            score = (1.0 + wout[n]) / (1.0 + win[n])
+            if score > best_score:
+                best, best_score = n, score
+        remaining.discard(best)
+        order[best] = rank
+        for (m, w) in out_adj.get(best, []):
+            if m in remaining:
+                win[m] -= w
+        for (m, w) in in_adj.get(best, []):
+            if m in remaining:
+                wout[m] -= w
+    return order
