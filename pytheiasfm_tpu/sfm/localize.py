@@ -1,0 +1,120 @@
+"""2D-3D view localization against the current reconstruction.
+
+Re-design of `/root/reference/src/theia/sfm/localize_view_to_reconstruction.{h,cc}`
+(options `localize_view_to_reconstruction.h:55-90`, flow `.cc:137-254`):
+gather the view's observations of estimated tracks, RANSAC a calibrated
+absolute pose (P3P hypotheses — batched on device), gate on inlier count,
+then single-view bundle adjustment with all tracks constant.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..ba import BundleAdjustmentOptions
+from ..ba.entry import bundle_adjust_view
+from ..models import camera as cam
+from ..models import intrinsics as intr
+from ..ransac import engine
+from ..ransac.estimators import estimate_calibrated_absolute_pose
+from ..ops import rotation as rotops
+from .reconstruction_estimator_utils import compute_resolution_scaled_threshold
+
+__all__ = ["LocalizeViewToReconstructionOptions", "localize_view_to_reconstruction"]
+
+
+@dataclasses.dataclass
+class LocalizeViewToReconstructionOptions:
+    """Parity: `theia::LocalizeViewToReconstructionOptions`
+    (`localize_view_to_reconstruction.h:55-90`)."""
+
+    reprojection_error_threshold_pixels: float = 4.0
+    assume_known_orientation: bool = False
+    ransac_params: engine.RansacParameters = dataclasses.field(
+        default_factory=engine.RansacParameters
+    )
+    bundle_adjust_view: bool = True
+    ba_options: BundleAdjustmentOptions = dataclasses.field(
+        default_factory=lambda: BundleAdjustmentOptions(max_num_iterations=10)
+    )
+    min_num_inliers: int = 30
+
+
+def localize_view_to_reconstruction(
+    view_id: int,
+    options: LocalizeViewToReconstructionOptions,
+    recon,
+    key: jax.Array | None = None,
+):
+    """Returns (success, RansacSummary|None). On success the view's
+    extrinsics are set and it is flagged estimated."""
+    if key is None:
+        key = jax.random.PRNGKey(view_id)
+
+    rows = [
+        r
+        for t, r in recon._view_track_to_obs[view_id].items()
+        if recon.track_estimated[t]
+    ]
+    if len(rows) < max(options.min_num_inliers, 4):
+        return False, None
+
+    g = recon.view_group[view_id]
+    params = jnp.asarray(recon.intrinsics[g])
+    model = int(recon.group_model[g])
+    focal = float(recon.intrinsics[g][0])
+
+    pix = jnp.asarray(recon.obs_uv[rows])
+    rays = jax.vmap(lambda p: cam.pixel_to_normalized(params, p, model))(pix)
+    norm_feats = rays[:, :2] / rays[:, 2:3]
+
+    tracks = recon.obs_track[rows]
+    w = recon.points[tracks, 3:4]
+    pts3 = recon.points[tracks, :3] / np.where(np.abs(w) < 1e-12, 1.0, w)
+
+    # Threshold: pixels -> normalized squared (estimate_calibrated_absolute_pose
+    # residuals are squared errors in normalized coords). Resolution-scaled as
+    # in localize_view_to_reconstruction.cc.
+    prior = recon.view_priors[view_id]
+    thresh_px = compute_resolution_scaled_threshold(
+        options.reprojection_error_threshold_pixels,
+        prior.image_width,
+        prior.image_height,
+    )
+    thresh_norm_sq = (thresh_px / focal) ** 2
+
+    params_r = dataclasses.replace(
+        options.ransac_params, error_thresh=thresh_norm_sq
+    )
+    n = len(rows)
+    # Pad correspondence count to a power of two to bound recompiles.
+    npad = 8
+    while npad < n:
+        npad *= 2
+    feats_p = jnp.zeros((npad, 2), norm_feats.dtype).at[:n].set(norm_feats)
+    pts_p = jnp.zeros((npad, 3), norm_feats.dtype).at[:n].set(jnp.asarray(pts3, norm_feats.dtype))
+    mask = jnp.arange(npad) < n
+
+    model_best, summary = estimate_calibrated_absolute_pose(
+        key, feats_p, pts_p, params_r, mask=mask, num_data=n
+    )
+    if int(summary.num_inliers) < options.min_num_inliers:
+        return False, summary
+
+    R = np.asarray(model_best.rotation)
+    pos = np.asarray(model_best.position)
+    aa = np.asarray(rotops.rotation_matrix_to_angle_axis(jnp.asarray(R)))
+    recon.view_extrinsics[view_id, :3] = pos
+    recon.view_extrinsics[view_id, 3:] = aa
+    recon.view_estimated[view_id] = True
+
+    if options.bundle_adjust_view:
+        ba_summary = bundle_adjust_view(options.ba_options, view_id, recon)
+        if not bool(ba_summary.success):
+            recon.view_estimated[view_id] = False
+            return False, summary
+    return True, summary
