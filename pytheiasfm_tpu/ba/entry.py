@@ -84,7 +84,16 @@ def _gather_problem(recon, view_sel, track_sel, dtype):
     )
 
 
-def _run(recon, view_sel, track_sel, camera_free, point_free, options, dtype):
+def _run(
+    recon,
+    view_sel,
+    track_sel,
+    camera_free,
+    point_free,
+    options,
+    dtype,
+    orientation_constant: bool = False,
+):
     import jax.numpy as jnp
 
     prob = _gather_problem(recon, view_sel, track_sel, dtype)
@@ -95,8 +104,13 @@ def _run(recon, view_sel, track_sel, camera_free, point_free, options, dtype):
     ext_in[:V] = prob["extrinsics"]
     pts_in = np.zeros((Tp, 3), dtype)
     pts_in[:T] = prob["points"]
-    cam_free_p = np.zeros(Vp, bool)
-    cam_free_p[:V] = camera_free
+    if orientation_constant:
+        # Per-DOF mask: positions free, angle-axis rows frozen (HSfM-style).
+        cam_free_p = np.zeros((Vp, 6), bool)
+        cam_free_p[:V, :3] = camera_free[:, None]
+    else:
+        cam_free_p = np.zeros(Vp, bool)
+        cam_free_p[:V] = camera_free
     pt_free_p = np.zeros(Tp, bool)
     pt_free_p[:T] = point_free
 
@@ -140,10 +154,12 @@ def bundle_adjust_partial_reconstruction(
     tracks_to_optimize,
     recon,
     dtype=np.float32,
+    orientation_constant: bool = False,
 ) -> BundleAdjustmentSummary:
     """Parity: `theia::BundleAdjustPartialReconstruction`
     (`bundle_adjustment.h:188`): only the given views/tracks move; their
-    residuals still couple to estimated-but-constant neighbors."""
+    residuals still couple to estimated-but-constant neighbors.
+    `orientation_constant=True` freezes camera orientations (hybrid/HSfM)."""
     V, T = recon.num_views(), recon.num_tracks()
     cam_free = np.zeros(V, bool)
     pt_free = np.zeros(T, bool)
@@ -155,7 +171,10 @@ def bundle_adjust_partial_reconstruction(
             pt_free[t] = True
     view_sel = recon.view_estimated.copy()
     track_sel = recon.track_estimated.copy()
-    return _run(recon, view_sel, track_sel, cam_free, pt_free, options, dtype)
+    return _run(
+        recon, view_sel, track_sel, cam_free, pt_free, options, dtype,
+        orientation_constant=orientation_constant,
+    )
 
 
 def bundle_adjust_views(

@@ -162,7 +162,12 @@ def bundle_adjust(
     width = options.robust_loss_width
     obs = (obs_view, obs_track, obs_uv, obs_sqrt_info, obs_mask, intrinsics_rows)
 
-    cam_free = (camera_free & options.optimize_cameras)[..., None].astype(dtype)
+    # camera_free may be [V] (whole camera) or [V, 6] (per-DOF — e.g. the
+    # hybrid pipeline holds orientations constant, HSfM Cui CVPR'17).
+    if camera_free.ndim == 1:
+        camera_free = camera_free[..., None]
+    cam_free = (camera_free & options.optimize_cameras).astype(dtype)
+    cam_free = jnp.broadcast_to(cam_free, (num_views, 6))
     pt_free = (point_free & options.optimize_points)[..., None].astype(dtype)
 
     def cost_of(state):

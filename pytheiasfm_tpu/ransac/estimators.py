@@ -34,6 +34,8 @@ __all__ = [
     "estimate_calibrated_absolute_pose",
     "estimate_uncalibrated_relative_pose",
     "estimate_triangulation",
+    "estimate_absolute_pose_with_known_orientation",
+    "estimate_relative_pose_with_known_orientation",
 ]
 
 
@@ -358,4 +360,70 @@ def estimate_triangulation(
     )
     return engine.ransac(
         key, TriData(poses, points), est, params, mask=mask, **kw
+    )
+
+
+# ---------------------------------------------------------------------------
+# Known-orientation estimators (used by the hybrid pipeline, SURVEY §2.10).
+
+
+def estimate_absolute_pose_with_known_orientation(
+    key, rotated_feature, world_point, params: engine.RansacParameters,
+    mask=None, **kw,
+):
+    """Parity: `theia::EstimateAbsolutePoseWithKnownOrientation`
+    (estimators/estimate_absolute_pose_with_known_orientation.cc): 2-point
+    position solver on world-aligned (pre-rotated, dehomogenized) features;
+    squared reprojection residual in the rotated frame. Returns the camera
+    position model."""
+    from ..ops import known_rotation as kr
+
+    def solve(subset: Corr2D3D):
+        pos, ok = kr.position_from_two_rays(
+            subset.feature[0], subset.world_point[0],
+            subset.feature[1], subset.world_point[1],
+        )
+        return pos[None], ok[None]
+
+    def residuals(position, data: Corr2D3D):
+        adj = data.world_point - position
+        z = adj[..., 2]
+        behind = z < 1e-8
+        reproj = adj[..., :2] / jnp.where(behind, 1.0, z)[..., None]
+        err = jnp.sum((reproj - data.feature) ** 2, axis=-1)
+        return jnp.where(behind, _BIG, err)
+
+    est = engine.Estimator(sample_size=2, solve=solve, residuals=residuals)
+    return engine.ransac(
+        key, Corr2D3D(rotated_feature, world_point), est, params, mask=mask, **kw
+    )
+
+
+def estimate_relative_pose_with_known_orientation(
+    key, rotated_points1, rotated_points2, params: engine.RansacParameters,
+    mask=None, **kw,
+):
+    """Parity: `theia::EstimateRelativePoseWithKnownOrientation`
+    (estimators/estimate_relative_pose_with_known_orientation.cc): 2-point
+    relative-position nullspace solver on world-aligned features; Sampson
+    residual on E = [t]_x. Returns the unit relative position."""
+    from ..ops import known_rotation as kr
+
+    def solve(subset: TwoViewData):
+        pos, ok = kr.relative_pose_from_two_points_with_known_rotation(
+            subset.points1, subset.points2
+        )
+        return pos[None], ok[None]
+
+    def residuals(position, data: TwoViewData):
+        t = position
+        E = jnp.asarray(
+            [[0.0, -t[2], t[1]], [t[2], 0.0, -t[0]], [-t[1], t[0], 0.0]],
+        ).astype(t.dtype)
+        return epipolar.squared_sampson_distance(E, data.points1, data.points2)
+
+    est = engine.Estimator(sample_size=2, solve=solve, residuals=residuals)
+    return engine.ransac(
+        key, TwoViewData(rotated_points1, rotated_points2), est, params,
+        mask=mask, **kw,
     )

@@ -20,7 +20,10 @@ from ..ba.entry import bundle_adjust_view
 from ..models import camera as cam
 from ..models import intrinsics as intr
 from ..ransac import engine
-from ..ransac.estimators import estimate_calibrated_absolute_pose
+from ..ransac.estimators import (
+    estimate_absolute_pose_with_known_orientation,
+    estimate_calibrated_absolute_pose,
+)
 from ..ops import rotation as rotops
 from .reconstruction_estimator_utils import compute_resolution_scaled_threshold
 
@@ -99,18 +102,39 @@ def localize_view_to_reconstruction(
     pts_p = jnp.zeros((npad, 3), norm_feats.dtype).at[:n].set(jnp.asarray(pts3, norm_feats.dtype))
     mask = jnp.arange(npad) < n
 
-    model_best, summary = estimate_calibrated_absolute_pose(
-        key, feats_p, pts_p, params_r, mask=mask, num_data=n
-    )
-    if int(summary.num_inliers) < options.min_num_inliers:
-        return False, summary
+    if options.assume_known_orientation:
+        # Position-only path (localize_view_to_reconstruction.cc known-
+        # orientation branch): rotate features into the world-aligned frame
+        # with the view's current orientation, 2-point position RANSAC.
+        aa_cur = recon.view_extrinsics[view_id, 3:]
+        R_cur = np.asarray(
+            rotops.angle_axis_to_rotation_matrix(jnp.asarray(aa_cur))
+        )
+        rays = np.concatenate(
+            [np.asarray(feats_p), np.ones((npad, 1), np.asarray(feats_p).dtype)],
+            axis=-1,
+        ) @ R_cur  # R^T x per row
+        rot_feats = jnp.asarray(rays[:, :2] / rays[:, 2:3])
+        model_best, summary = estimate_absolute_pose_with_known_orientation(
+            key, rot_feats, pts_p, params_r, mask=mask, num_data=n
+        )
+        if int(summary.num_inliers) < options.min_num_inliers:
+            return False, summary
+        recon.view_extrinsics[view_id, :3] = np.asarray(model_best)
+        recon.view_estimated[view_id] = True
+    else:
+        model_best, summary = estimate_calibrated_absolute_pose(
+            key, feats_p, pts_p, params_r, mask=mask, num_data=n
+        )
+        if int(summary.num_inliers) < options.min_num_inliers:
+            return False, summary
 
-    R = np.asarray(model_best.rotation)
-    pos = np.asarray(model_best.position)
-    aa = np.asarray(rotops.rotation_matrix_to_angle_axis(jnp.asarray(R)))
-    recon.view_extrinsics[view_id, :3] = pos
-    recon.view_extrinsics[view_id, 3:] = aa
-    recon.view_estimated[view_id] = True
+        R = np.asarray(model_best.rotation)
+        pos = np.asarray(model_best.position)
+        aa = np.asarray(rotops.rotation_matrix_to_angle_axis(jnp.asarray(R)))
+        recon.view_extrinsics[view_id, :3] = pos
+        recon.view_extrinsics[view_id, 3:] = aa
+        recon.view_estimated[view_id] = True
 
     if options.bundle_adjust_view:
         ba_summary = bundle_adjust_view(options.ba_options, view_id, recon)
