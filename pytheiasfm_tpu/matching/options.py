@@ -1,0 +1,29 @@
+"""Feature-matcher options.
+
+Parity: `/root/reference/src/theia/matching/feature_matcher_options.h:45-87`.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+from ..sfm.two_view import EstimateTwoViewInfoOptions
+
+__all__ = ["FeatureMatcherOptions"]
+
+
+@dataclasses.dataclass
+class FeatureMatcherOptions:
+    """Same field names/defaults as the reference where the concept maps."""
+
+    num_threads: int = 1  # kept for API parity; batching is the parallelism
+    keep_only_symmetric_matches: bool = True
+    use_lowes_ratio: bool = True
+    lowes_ratio: float = 0.8
+    min_num_feature_matches: int = 30
+    perform_geometric_verification: bool = True
+    geometric_verification_options: EstimateTwoViewInfoOptions = dataclasses.field(
+        default_factory=EstimateTwoViewInfoOptions
+    )
+    # Padding cap for the per-image descriptor count on device.
+    max_num_features: int = 4096

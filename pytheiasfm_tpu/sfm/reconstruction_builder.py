@@ -109,6 +109,23 @@ class ReconstructionBuilder:
             )
         return True
 
+    def match_features(self, matcher) -> int:
+        """Run a FeatureMatcher and feed every verified pair into the
+        builder. Parity: `ReconstructionBuilder::ExtractAndMatchFeatures`
+        (`reconstruction_builder.h:175`) minus extraction — the reference
+        deliberately delegates image reading/feature extraction to Python
+        (README.md:15-18), as do we."""
+        matches = matcher.match_images()
+        n = 0
+        for m in matches:
+            if self.reconstruction.view_id_from_name(m.image1) < 0:
+                self.add_image(m.image1)
+            if self.reconstruction.view_id_from_name(m.image2) < 0:
+                self.add_image(m.image2)
+            if self.add_two_view_match(m.image1, m.image2, m):
+                n += 1
+        return n
+
     # --------------------------------------------------------------- output
 
     def build_reconstruction(self) -> list[Reconstruction]:
