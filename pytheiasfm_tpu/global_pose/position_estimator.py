@@ -32,6 +32,8 @@ __all__ = [
     "least_unsquared_deviation_positions",
     "nonlinear_positions",
     "linear_triplet_positions",
+    "ligt_positions",
+    "bata_positions",
     "estimate_positions",
 ]
 
@@ -44,6 +46,9 @@ class GlobalPositionEstimatorType:
     LINEAR_TRIPLET = 1
     LEAST_UNSQUARED_DEVIATION = 2
     LIGT = 3
+    # BATA is implemented+tested but not wired into the reference's enum
+    # (`bata_position_estimator.h:56`); we expose it as a first-class type.
+    BATA = 4
 
 
 def relative_translations_to_world(orientations, edge_i, rel_positions):
@@ -251,6 +256,210 @@ def linear_triplet_positions(
     return c * sign
 
 
+@partial(jax.jit, static_argnames=("num_views", "num_tracks", "power_iterations"))
+def ligt_positions(
+    obs_view, obs_track, bearings, orientations, num_views: int,
+    num_tracks: int, power_iterations: int = 200,
+):
+    """LiGT: linear global translation from track constraints.
+
+    Parity: `theia::LiGTPositionEstimator` (`LiGT_position_estimator.h:53`,
+    Cai et al. "A Pose-only Solution to Visual Reconstruction and
+    Navigation", TPAMI 2021). Derivation used here (same constraint set):
+    for a track with base observation (b, v_b), the point is
+    X = c_b + d R_bᵀ v_b; any other observation (j, v_j) demands
+    [v_j]× R_j (X − c_j) = 0. Eliminating the depth d via the cross product
+    with a = [v_j]× R_j R_bᵀ v_b yields three equations *linear in camera
+    centers only*:
+
+        [a]× B_j (c_b − c_j) = 0,   B_j = [v_j]× R_j .
+
+    The total least-squares solution is the smallest eigenvector of the
+    assembled quadratic form — found by deflated shifted power iteration
+    (the reference uses an eigensolve below 500 views and power iteration
+    above, `LiGT_position_estimator.h:75-80`).
+
+    Args:
+      obs_view [O] int32; obs_track [O] int32; bearings [O, 3] unit camera-
+      frame bearings; orientations [V, 3] world→camera angle-axis.
+
+    Returns:
+      positions [V, 3] (zero-mean, unit-norm gauge, majority-positive depth).
+    """
+    dtype = bearings.dtype
+    R = jax.vmap(rotops.angle_axis_to_rotation_matrix)(orientations)  # [V,3,3]
+
+    # Base observation per track: the first occurrence (segment_min over
+    # observation index).
+    O = obs_view.shape[0]
+    obs_idx = jnp.arange(O)
+    base_obs = jax.ops.segment_min(obs_idx, obs_track, num_segments=num_tracks)
+    base_obs = jnp.clip(base_obs, 0, O - 1)
+    base_view = obs_view[base_obs]  # [T]
+    base_bearing = bearings[base_obs]  # [T, 3]
+
+    # Per-observation constraint blocks (vectorized over all O observations;
+    # base observations contribute a zero row via masking).
+    b_view = base_view[obs_track]  # [O]
+    v_b = base_bearing[obs_track]  # [O, 3]
+    R_j = R[obs_view]
+    R_b = R[b_view]
+    ray_b = jnp.einsum("oba,ob->oa", R_b, v_b)  # R_bᵀ v_b, world ray
+
+    def hat(a):
+        z = jnp.zeros_like(a[..., 0])
+        return jnp.stack(
+            [
+                jnp.stack([z, -a[..., 2], a[..., 1]], -1),
+                jnp.stack([a[..., 2], z, -a[..., 0]], -1),
+                jnp.stack([-a[..., 1], a[..., 0], z], -1),
+            ],
+            -2,
+        )
+
+    B_j = hat(bearings) @ R_j  # [O, 3, 3]
+    a = jnp.einsum("oij,oj->oi", B_j, ray_b)  # [O, 3]
+    M = hat(a) @ B_j  # [O, 3, 3]: M (c_b − c_j) = 0
+    is_base = obs_idx == base_obs[obs_track]
+    # Scale-balance each constraint (|a| ~ triangulation angle) and mask.
+    wnorm = jnp.linalg.norm(a, axis=-1, keepdims=True)
+    M = jnp.where(is_base[:, None, None], 0.0, M / jnp.maximum(wnorm[..., None], 1e-12))
+
+    MtM = jnp.einsum("oki,okj->oij", M, M)  # [O, 3, 3]
+
+    def apply_L(c):
+        d = c[b_view] - c[obs_view]  # [O, 3]
+        Md = jnp.einsum("oij,oj->oi", MtM, d)
+        g = jax.ops.segment_sum(Md, b_view, num_segments=num_views)
+        g -= jax.ops.segment_sum(Md, obs_view, num_segments=num_views)
+        return g
+
+    deg = jax.ops.segment_sum(
+        jnp.trace(MtM, axis1=-2, axis2=-1), obs_view, num_segments=num_views
+    ) + jax.ops.segment_sum(
+        jnp.trace(MtM, axis1=-2, axis2=-1), b_view, num_segments=num_views
+    )
+
+    def deflate(c):
+        return c - jnp.mean(c, axis=0, keepdims=True)
+
+    # Inverse iteration: repeatedly solve (L + eps I) y = c with CG (each
+    # outer step amplifies the near-null GT mode by ~1/eps — orders of
+    # magnitude faster than shifted power iteration on this spectrum).
+    eps = 1e-8 * jnp.maximum(jnp.mean(deg), 1e-12)
+
+    def matvec(x):
+        xv = deflate(x.reshape(num_views, 3))
+        return (apply_L(xv) + eps * xv).reshape(-1)
+
+    def body(c, _):
+        y = conjugate_gradient(
+            matvec, c.reshape(-1), x0=c.reshape(-1), iters=power_iterations
+        )
+        y = deflate(y.reshape(num_views, 3))
+        return y / jnp.maximum(jnp.linalg.norm(y), 1e-30), None
+
+    c0 = deflate(jax.random.normal(jax.random.PRNGKey(0), (num_views, 3), dtype))
+    c0 = c0 / jnp.linalg.norm(c0)
+    c, _ = jax.lax.scan(body, c0, None, length=8)
+
+    # Sign: majority of depths d = −aᵀw/|a|² must be positive.
+    w_vec = jnp.einsum("oij,oj->oi", B_j, c[b_view] - c[obs_view])
+    d_est = -jnp.sum(a * w_vec, -1) / jnp.maximum(jnp.sum(a * a, -1), 1e-20)
+    d_est = jnp.where(is_base, 0.0, d_est)
+    sign = jnp.where(jnp.sum(jnp.sign(d_est)) >= 0, 1.0, -1.0)
+    return c * sign
+
+
+@partial(jax.jit, static_argnames=("num_views", "outer_iters", "cg_iters"))
+def bata_positions(
+    edge_i, edge_j, t_world, free_mask, num_views: int,
+    outer_iters: int = 100, cg_iters: int = 40, alpha_eps: float = 1e-3,
+):
+    """BATA: bilinear angle-based translation averaging (revised LUD).
+
+    Parity: `theia::RevisedLeastUnsquaredDeviationPositionEstimator`
+    (`bata_position_estimator.h:56`, Zhuang et al. "Baseline Desensitizing
+    in Translation Averaging", CVPR 2018): minimize
+    Σ w_ij ‖ α_ij (c_j − c_i) − t̂_ij ‖² with α_ij = 1/‖c_j − c_i‖
+    re-estimated each round (angle-based residual — insensitive to
+    baseline length), plus IRLS robust weights.
+
+    Returns positions [V, 3] (zero-mean gauge, mean edge length 1).
+    """
+    dtype = t_world.dtype
+    E = edge_i.shape[0]
+    fm = free_mask.astype(dtype)[:, None]
+
+    # Warm start from LUD: the bilinear alternation has spurious fixed
+    # points in f32 when started far away; LUD's convex ADMM lands inside
+    # the right basin (the reference's BATA is likewise a "revised" LUD).
+    c = least_unsquared_deviation_positions(
+        edge_i, edge_j, t_world, free_mask, num_views
+    )
+    c = c - jnp.mean(c, axis=0, keepdims=True)
+    dn0 = jnp.linalg.norm(c[edge_j] - c[edge_i], axis=-1)
+    c = c / jnp.maximum(jnp.mean(dn0), 1e-12)
+
+    def outer(c, _):
+        d = c[edge_j] - c[edge_i]
+        # Bilinear alternation (Zhuang et al. eq. 6): the optimal per-edge
+        # scale given c is the projection alpha = t̂ᵀd / ‖d‖² (clamped
+        # positive) — NOT 1/‖d‖, which collapses short edges.
+        dn2 = jnp.sum(d * d, axis=-1)
+        alpha = jnp.maximum(jnp.sum(t_world * d, -1), alpha_eps) / jnp.maximum(
+            dn2, alpha_eps**2
+        )
+        r = alpha[:, None] * d - t_world
+        # Robust (Cauchy-ish) reweighting on the angular residual.
+        w = 1.0 / (1.0 + jnp.sum(r * r, -1) / 0.25)
+
+        reg = 1e-6 * jnp.mean(w * alpha * alpha)
+
+        def deflate_v(xv):
+            return xv - jnp.mean(xv, axis=0, keepdims=True)
+
+        def matvec(x):
+            # Deflate + tiny Tikhonov: the Laplacian is exactly singular on
+            # the translation nullspace, which f32 CG otherwise amplifies.
+            xv = deflate_v(x.reshape(num_views, 3)) * fm
+            dd = (xv[edge_j] - xv[edge_i]) * (w * alpha * alpha)[:, None]
+            g = jax.ops.segment_sum(dd, edge_j, num_segments=num_views)
+            g -= jax.ops.segment_sum(dd, edge_i, num_segments=num_views)
+            return (deflate_v(g * fm) + reg * xv).reshape(-1)
+
+        rhs_e = t_world * (w * alpha)[:, None]
+        rhs = jax.ops.segment_sum(rhs_e, edge_j, num_segments=num_views)
+        rhs -= jax.ops.segment_sum(rhs_e, edge_i, num_segments=num_views)
+        rhs = deflate_v(rhs * fm).reshape(-1)
+
+        x = conjugate_gradient(matvec, rhs, x0=c.reshape(-1), iters=cg_iters)
+        c_new = x.reshape(num_views, 3)
+        # Mean-zero gauge only — the alpha-projection makes the cost scale
+        # invariant, and rescaling mid-iteration interacts badly with the
+        # absolute alpha clamps (it stalls convergence).
+        c_new = c_new - jnp.mean(c_new, axis=0, keepdims=True)
+
+        # Monotone guard on the (scale-invariant) angular objective: in f32
+        # the CG step direction degenerates to roundoff noise once
+        # converged — never let it walk away from the incumbent.
+        def ang_obj(cc):
+            dd = cc[edge_j] - cc[edge_i]
+            al = jnp.maximum(jnp.sum(t_world * dd, -1), alpha_eps) / jnp.maximum(
+                jnp.sum(dd * dd, -1), alpha_eps**2
+            )
+            rr = al[:, None] * dd - t_world
+            return jnp.sum(w * jnp.sum(rr * rr, -1))
+
+        better = ang_obj(c_new) < ang_obj(c)
+        return jnp.where(better, c_new, c), None
+
+    c, _ = jax.lax.scan(outer, c, None, length=outer_iters)
+    # Final gauge: mean edge length 1 (matches the reference convention).
+    dn = jnp.linalg.norm(c[edge_j] - c[edge_i], axis=-1)
+    return c / jnp.maximum(jnp.mean(dn), 1e-12)
+
+
 def estimate_positions(
     view_graph,
     orientations: dict,
@@ -303,6 +512,10 @@ def estimate_positions(
     elif estimator_type == GlobalPositionEstimatorType.LINEAR_TRIPLET:
         out = linear_triplet_positions(
             jnp.asarray(ei), jnp.asarray(ej), t_world, jnp.asarray(weights), V
+        )
+    elif estimator_type == GlobalPositionEstimatorType.BATA:
+        out = bata_positions(
+            jnp.asarray(ei), jnp.asarray(ej), t_world, jnp.asarray(free), V
         )
     else:
         out = least_unsquared_deviation_positions(

@@ -38,6 +38,9 @@ __all__ = [
     "irls_rotation_refine",
     "linear_rotation_averaging",
     "nonlinear_rotation_averaging",
+    "lagrange_dual_rotation_averaging",
+    "hybrid_rotation_averaging",
+    "l1_rotation_global",
     "estimate_rotations",
 ]
 
@@ -352,6 +355,75 @@ def nonlinear_rotation_averaging(
     return R_aa
 
 
+def lagrange_dual_rotation_averaging(
+    edge_i, edge_j, rel_aa, num_views: int, options=None
+):
+    """Rotation averaging by SDP relaxation (strong Lagrangian duality).
+
+    Parity: `theia::LagrangeDualRotationEstimator`
+    (`lagrange_dual_rotation_estimator.h:62-115`): relax
+    max Σ tr(R_iᵀ R̃_ijᵀ R_j) over SO(3)^n to the block SDP
+    min tr(C X), X_ii = I₃, X ⪰ 0 with C_ij = −R̃_ijᵀ, solved via the
+    Burer-Monteiro Riemannian staircase (`math/sdp.py`) instead of the
+    reference's sequential block-coordinate sweeps; rounding projects the
+    top-3 subspace back to SO(3)^n. Returns [V, 3] angle-axis (gauge-free).
+    """
+    from ..math import sdp as sdpmod
+
+    if options is None:
+        options = sdpmod.SDPSolverOptions()
+    dtype = rel_aa.dtype
+    V = num_views
+    R_rel = jax.vmap(rotops.angle_axis_to_rotation_matrix)(rel_aa)  # [E,3,3]
+    C = jnp.zeros((3 * V, 3 * V), dtype)
+    ei = np.asarray(edge_i)
+    ej = np.asarray(edge_j)
+    # Dense block scatter: C[3i:3i+3, 3j:3j+3] = −R̃ᵀ (and symmetric).
+    rows_i = (3 * ei[:, None, None] + np.arange(3)[None, :, None]).repeat(3, 2)
+    cols_j = (3 * ej[:, None, None] + np.arange(3)[None, None, :]).repeat(3, 1)
+    C = C.at[rows_i, cols_j].add(-jnp.swapaxes(R_rel, -1, -2))
+    C = C.at[cols_j.swapaxes(1, 2), rows_i.swapaxes(1, 2)].add(-R_rel)
+
+    Y, obj, lam = sdpmod.riemannian_staircase(C, V, options)
+    R = sdpmod.round_block_solution(Y, V)
+    return jax.vmap(rotops.rotation_matrix_to_angle_axis)(R), lam
+
+
+def hybrid_rotation_averaging(
+    edge_i, edge_j, rel_aa, free_mask, num_views: int,
+    sdp_options=None, irls_iterations: int = 10,
+):
+    """Lagrange-dual initialization + IRLS local refinement.
+
+    Parity: `theia::HybridRotationEstimator`
+    (`hybrid_rotation_estimator.h:51-89`, LD + `IRLSRotationLocalRefiner`).
+    """
+    aa0, _ = lagrange_dual_rotation_averaging(
+        edge_i, edge_j, rel_aa, num_views, sdp_options
+    )
+    return irls_rotation_refine(
+        aa0, edge_i, edge_j, rel_aa, free_mask, num_views,
+        num_iterations=irls_iterations,
+    )
+
+
+def l1_rotation_global(
+    orientations, edge_i, edge_j, rel_aa, free_mask, num_views: int,
+    l1_iterations: int = 5,
+):
+    """L1-only global rotation estimation.
+
+    Parity: `theia::L1RotationGlobalEstimator`
+    (`l1_rotation_global_estimator.h:52`) — the L1 stage of the robust
+    estimator without the IRLS polish."""
+    opts = RobustRotationEstimatorOptions(
+        max_num_l1_iterations=l1_iterations, max_num_irls_iterations=0
+    )
+    return robust_rotation_averaging(
+        orientations, edge_i, edge_j, rel_aa, free_mask, num_views, opts
+    )
+
+
 def estimate_rotations(
     view_graph,
     estimator_type: int = GlobalRotationEstimatorType.ROBUST_L1L2,
@@ -404,6 +476,21 @@ def estimate_rotations(
             )
         )
         out = aligned
+    elif estimator_type == GlobalRotationEstimatorType.LAGRANGE_DUAL:
+        aa, _ = lagrange_dual_rotation_averaging(
+            jnp.asarray(ei), jnp.asarray(ej), jnp.asarray(rel_rot), V
+        )
+        out = np.asarray(
+            rotops.align_orientations(jnp.asarray(init), jnp.asarray(aa))
+        )
+    elif estimator_type == GlobalRotationEstimatorType.HYBRID:
+        aa = hybrid_rotation_averaging(
+            jnp.asarray(ei), jnp.asarray(ej), jnp.asarray(rel_rot),
+            jnp.asarray(np.ones(V, bool)), V,
+        )
+        out = np.asarray(
+            rotops.align_orientations(jnp.asarray(init), jnp.asarray(aa))
+        )
     elif estimator_type == GlobalRotationEstimatorType.NONLINEAR:
         out = np.asarray(
             nonlinear_rotation_averaging(

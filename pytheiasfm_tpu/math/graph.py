@@ -130,3 +130,76 @@ def mfas_ordering(edges, weights, num_nodes):
             if m in remaining:
                 wout[m] -= w
     return order
+
+
+def normalized_graph_cut(edges, weights, num_nodes: int, cut_iterations: int = 100):
+    """Two-way spectral normalized cut (Shi & Malik).
+
+    Parity: `theia::NormalizedGraphCut` (`math/graph/normalized_graph_cut.h:72`)
+    used for view clustering. The Fiedler vector of the normalized Laplacian
+    is found by deflated shifted power iteration on device when the graph is
+    large; for host-side graphs (the reference's use case: hundreds of
+    views) a dense symmetric eigensolve is both faster and exact — we pick
+    dense here and keep the device path in `global_pose`/`sdp` for the
+    solvers that need scale.
+
+    Args:
+      edges: [E, 2] int array; weights: [E] nonneg; num_nodes.
+
+    Returns:
+      (labels [num_nodes] in {0,1}, ncut_value).
+    """
+    edges = np.asarray(edges)
+    w = np.asarray(weights, np.float64)
+    W = np.zeros((num_nodes, num_nodes))
+    W[edges[:, 0], edges[:, 1]] += w
+    W[edges[:, 1], edges[:, 0]] += w
+    d = W.sum(1)
+    d_safe = np.where(d > 0, d, 1.0)
+    Dinv_sqrt = 1.0 / np.sqrt(d_safe)
+    L_sym = np.eye(num_nodes) - (Dinv_sqrt[:, None] * W) * Dinv_sqrt[None, :]
+    evals, evecs = np.linalg.eigh(L_sym)
+    fiedler = Dinv_sqrt * evecs[:, 1]  # generalized eigenvector
+    # Sweep thresholds for the best normalized-cut value.
+    order = np.argsort(fiedler)
+    best_labels = (fiedler > np.median(fiedler)).astype(np.int32)
+    best_val = np.inf
+    total_assoc = d.sum()
+    for k in range(1, num_nodes):
+        labels = np.zeros(num_nodes, np.int32)
+        labels[order[k:]] = 1
+        in_a = labels == 0
+        assoc_a = d[in_a].sum()
+        assoc_b = total_assoc - assoc_a
+        if assoc_a <= 0 or assoc_b <= 0:
+            continue
+        cut = w[(labels[edges[:, 0]] != labels[edges[:, 1]])].sum()
+        val = cut / assoc_a + cut / assoc_b
+        if val < best_val:
+            best_val = val
+            best_labels = labels
+    return best_labels, best_val
+
+
+class ReservoirSampler:
+    """Streaming uniform k-sampler (parity: `theia::ReservoirSampler`,
+    `math/reservoir_sampler.h`)."""
+
+    def __init__(self, k: int, seed: int = 0):
+        self._k = int(k)
+        self._rng = np.random.default_rng(seed)
+        self._n_seen = 0
+        self._samples: list = []
+
+    def add(self, item) -> None:
+        self._n_seen += 1
+        if len(self._samples) < self._k:
+            self._samples.append(item)
+        else:
+            j = int(self._rng.integers(0, self._n_seen))
+            if j < self._k:
+                self._samples[j] = item
+
+    @property
+    def samples(self) -> list:
+        return list(self._samples)
