@@ -25,6 +25,10 @@ __all__ = [
     "bundle_adjust_tracks",
     "bundle_adjust_view",
     "bundle_adjust_track",
+    "bundle_adjust_views_with_cov",
+    "bundle_adjust_view_with_cov",
+    "bundle_adjust_tracks_with_cov",
+    "bundle_adjust_track_with_cov",
 ]
 
 
@@ -114,6 +118,53 @@ def _run(
     pt_free_p = np.zeros(Tp, bool)
     pt_free_p[:T] = point_free
 
+    # View priors (position/orientation/gravity, bundle_adjuster.cc:292-313).
+    priors = None
+    if (
+        options.use_position_priors
+        or options.use_orientation_priors
+        or options.use_gravity_priors
+    ):
+        pp = np.zeros((Vp, 3), dtype)
+        psi = np.zeros((Vp, 3, 3), dtype)
+        pm = np.zeros((Vp,), dtype)
+        op = np.zeros((Vp, 3), dtype)
+        osi = np.zeros((Vp, 3, 3), dtype)
+        om = np.zeros((Vp,), dtype)
+        gp = np.zeros((Vp, 3), dtype)
+        gsi = np.zeros((Vp, 3, 3), dtype)
+        gm = np.zeros((Vp,), dtype)
+        for v, vp in enumerate(recon.view_priors):
+            if not view_sel[v]:
+                continue
+            if options.use_position_priors and vp.position is not None:
+                pp[v] = np.asarray(vp.position, dtype)
+                psi[v] = (
+                    np.asarray(vp.position_sqrt_information, dtype)
+                    if vp.position_sqrt_information is not None
+                    else np.eye(3, dtype=dtype)
+                )
+                pm[v] = 1.0
+            if options.use_orientation_priors and vp.orientation is not None:
+                op[v] = np.asarray(vp.orientation, dtype)
+                osi[v] = (
+                    np.asarray(vp.orientation_sqrt_information, dtype)
+                    if vp.orientation_sqrt_information is not None
+                    else np.eye(3, dtype=dtype)
+                )
+                om[v] = 1.0
+            if options.use_gravity_priors and vp.gravity is not None:
+                gp[v] = np.asarray(vp.gravity, dtype)
+                gsi[v] = (
+                    np.asarray(vp.gravity_sqrt_information, dtype)
+                    if vp.gravity_sqrt_information is not None
+                    else np.eye(3, dtype=dtype)
+                )
+                gm[v] = 1.0
+        priors = tuple(
+            jnp.asarray(a) for a in (pp, psi, pm, op, osi, om, gp, gsi, gm)
+        )
+
     ext, pts, summary = bundle_adjust(
         jnp.asarray(ext_in),
         jnp.asarray(pts_in),
@@ -129,6 +180,7 @@ def _run(
         num_views=Vp,
         num_tracks=Tp,
         options=options,
+        priors=priors,
     )
     ext = np.asarray(ext, recon.dtype)[:V]
     pts = np.asarray(pts, recon.dtype)[:T]
@@ -205,3 +257,94 @@ def bundle_adjust_tracks(
 def bundle_adjust_track(options, track_id, recon, dtype=np.float32):
     """Parity: `theia::BundleAdjustTrack` (`bundle_adjustment.h:206`)."""
     return bundle_adjust_tracks(options, [track_id], recon, dtype)
+
+
+def _covariance_blocks(recon, options, dtype):
+    """Hessian blocks + empirical variance factor for the current state."""
+    import jax.numpy as jnp
+
+    from .lm import hessian_blocks
+
+    view_sel = recon.view_estimated.copy()
+    track_sel = recon.track_estimated.copy()
+    prob = _gather_problem(recon, view_sel, track_sel, dtype)
+    V, T = recon.num_views(), recon.num_tracks()
+    Vp, Tp = _pad_pow2(V, 8), _pad_pow2(T, 64)
+    ext = np.zeros((Vp, 6), dtype)
+    ext[:V] = prob["extrinsics"]
+    pts = np.zeros((Tp, 3), dtype)
+    pts[:T] = prob["points"]
+    U, Vt, cost, n_obs = hessian_blocks(
+        jnp.asarray(ext),
+        jnp.asarray(pts),
+        jnp.asarray(prob["intrinsics_rows"]),
+        jnp.asarray(prob["obs_view"]),
+        jnp.asarray(prob["obs_track"]),
+        jnp.asarray(prob["obs_uv"]),
+        jnp.asarray(prob["obs_sqrt_info"]),
+        jnp.asarray(prob["obs_mask"]),
+        model=prob["model"],
+        num_views=Vp,
+        num_tracks=Tp,
+        options=options,
+    )
+    return np.asarray(U)[:V], np.asarray(Vt)[:T], float(cost), int(n_obs)
+
+
+def bundle_adjust_views_with_cov(
+    options: BundleAdjustmentOptions, view_ids, recon, dtype=np.float32
+):
+    """Parity: `theia::BundleAdjustViews` with covariance
+    (`bundle_adjustment.h:246-250`): optimize the views (tracks constant),
+    then return per-view 6x6 empirical covariances and the empirical
+    variance factor sigma^2 = 2*cost / (num_residuals - num_params).
+    """
+    summary = bundle_adjust_views(options, view_ids, recon, dtype)
+    U, _, cost, n_obs = _covariance_blocks(recon, options, dtype)
+    dof = max(2 * n_obs - 6 * len(view_ids), 1)
+    variance_factor = 2.0 * cost / dof
+    covariances = {}
+    for v in view_ids:
+        try:
+            cov = np.linalg.inv(U[v].astype(np.float64))
+        except np.linalg.LinAlgError:
+            return summary, None, None
+        covariances[v] = cov * variance_factor
+    return summary, covariances, variance_factor
+
+
+def bundle_adjust_view_with_cov(options, view_id, recon, dtype=np.float32):
+    """Parity: `theia::BundleAdjustView` with covariance
+    (`bundle_adjustment.h:239-243`)."""
+    summary, covs, vf = bundle_adjust_views_with_cov(
+        options, [view_id], recon, dtype
+    )
+    return summary, (covs or {}).get(view_id), vf
+
+
+def bundle_adjust_tracks_with_cov(
+    options: BundleAdjustmentOptions, track_ids, recon, dtype=np.float32
+):
+    """Parity: `theia::BundleAdjustTracks` with covariance
+    (`bundle_adjustment.h:230-236`): per-track 3x3 covariances."""
+    summary = bundle_adjust_tracks(options, track_ids, recon, dtype)
+    _, Vt, cost, n_obs = _covariance_blocks(recon, options, dtype)
+    dof = max(2 * n_obs - 3 * len(track_ids), 1)
+    variance_factor = 2.0 * cost / dof
+    covariances = {}
+    for t in track_ids:
+        try:
+            cov = np.linalg.inv(Vt[t].astype(np.float64))
+        except np.linalg.LinAlgError:
+            return summary, None, None
+        covariances[t] = cov * variance_factor
+    return summary, covariances, variance_factor
+
+
+def bundle_adjust_track_with_cov(options, track_id, recon, dtype=np.float32):
+    """Parity: `theia::BundleAdjustTrack` with covariance
+    (`bundle_adjustment.h:223-228`)."""
+    summary, covs, vf = bundle_adjust_tracks_with_cov(
+        options, [track_id], recon, dtype
+    )
+    return summary, (covs or {}).get(track_id), vf

@@ -64,6 +64,11 @@ class BundleAdjustmentOptions:
     # What to optimize (mirrors constant_camera_* flags / intrinsics subsets).
     optimize_cameras: bool = True
     optimize_points: bool = True
+    # View priors (`bundle_adjustment.h:154-166`, residuals from
+    # position_error.h / orientation_error.h / gravity_error.h).
+    use_position_priors: bool = False
+    use_orientation_priors: bool = False
+    use_gravity_priors: bool = False
     verbose: bool = False
 
 
@@ -125,6 +130,68 @@ def _segment_sum(values, segment_ids, num_segments):
     return jax.ops.segment_sum(values, segment_ids, num_segments=num_segments)
 
 
+@partial(jax.jit, static_argnames=("model", "num_views", "num_tracks", "options"))
+def hessian_blocks(
+    extrinsics,
+    points,
+    intrinsics_rows,
+    obs_view,
+    obs_track,
+    obs_uv,
+    obs_sqrt_info,
+    obs_mask,
+    model: int,
+    num_views: int,
+    num_tracks: int,
+    options: BundleAdjustmentOptions,
+):
+    """Per-view [V,6,6] and per-track [T,3,3] Gauss-Newton Hessian blocks
+    plus the total robust cost and residual count.
+
+    These are what `ceres::Covariance` inverts when the other parameter
+    group is held constant (`bundle_adjuster.cc:660-744`): for
+    BundleAdjustView(s)WithCov / BundleAdjustTrack(s)WithCov the problem is
+    block-diagonal, so cov(view) = sigma^2 U_v^{-1} exactly.
+    """
+    dtype = extrinsics.dtype
+    obs = (obs_view, obs_track, obs_uv, obs_sqrt_info, obs_mask, intrinsics_rows)
+    loss = options.loss_function_type
+    width = options.robust_loss_width
+    r, Jc, Jp, s = _make_blocks((extrinsics, points), obs, model, loss, width, dtype)
+    U = _segment_sum(jnp.einsum("ori,orj->oij", Jc, Jc), obs_view, num_views)
+    Vt = _segment_sum(jnp.einsum("ori,orj->oij", Jp, Jp), obs_track, num_tracks)
+    cost = jnp.sum(loss_rho(s, loss, width) * obs_mask.astype(dtype))
+    return U, Vt, cost, jnp.sum(obs_mask)
+
+
+def _prior_residual(e6, priors_row, dtype):
+    """Per-view prior residual [9] = [position(3), orientation(3), gravity(3)].
+
+    Parity: `position_error.h` (sqrt_info (p - p_prior)), `orientation_error.h`
+    (sqrt_info log(R R_priorᵀ)), `gravity_error.h`
+    (sqrt_info (R (0,0,-1) - g_prior)); masks zero unset priors.
+    """
+    (pp, psi, pm, op, osi, om, gp, gsi, gm) = priors_row
+    r_pos = (psi @ (e6[:3] - pp)) * pm
+    R = rotops.angle_axis_to_rotation_matrix(e6[3:])
+    Rp = rotops.angle_axis_to_rotation_matrix(op)
+    r_ori = (osi @ rotops.rotation_matrix_to_angle_axis(R @ Rp.T)) * om
+    g_world = jnp.asarray([0.0, 0.0, -1.0], dtype)
+    g_cam = R @ g_world
+    r_grav = (gsi @ (g_cam - gp)) * gm
+    return jnp.concatenate([r_pos, r_ori, r_grav])
+
+
+def _prior_blocks(extrinsics, priors, dtype):
+    """Residuals + Jacobians of all view priors: ([V, 9], [V, 9, 6])."""
+
+    def rj(e6, *row):
+        f = lambda e: _prior_residual(e, row, dtype)
+        return f(e6), jax.jacfwd(f)(e6)
+
+    return jax.vmap(rj)(extrinsics, *priors)
+
+
 @partial(
     jax.jit,
     static_argnames=(
@@ -149,6 +216,7 @@ def bundle_adjust(
     num_views: int,
     num_tracks: int,
     options: BundleAdjustmentOptions,
+    priors=None,  # optional 9-tuple of per-view prior arrays (see _prior_residual)
 ):
     """Run LM to convergence. Returns (extrinsics, points, summary).
 
@@ -173,7 +241,11 @@ def bundle_adjust(
     def cost_of(state):
         _, _, _, s = _make_blocks(state, obs, model, loss, width, dtype)
         raw = loss_rho(s, loss, width) * obs_mask.astype(dtype)
-        return 0.5 * jnp.sum(raw)
+        c = 0.5 * jnp.sum(raw)
+        if priors is not None:
+            r_pr, _ = _prior_blocks(state[0], priors, dtype)
+            c = c + 0.5 * jnp.sum(r_pr * r_pr)
+        return c
 
     def lm_step(state, mu):
         """One LM iteration: build blocks, solve, propose a step."""
@@ -189,6 +261,13 @@ def bundle_adjust(
         W = jnp.einsum("ori,orj->oij", Jc, Jp)  # [O, 6, 3]
         bc = -_segment_sum(jnp.einsum("ori,or->oi", Jc, r), obs_view, V)
         bp = -_segment_sum(jnp.einsum("ori,or->oi", Jp, r), obs_track, T)
+
+        if priors is not None:
+            # Prior residuals touch only camera blocks: dense per-view adds.
+            r_pr, J_pr = _prior_blocks(extrinsics_c, priors, dtype)
+            J_pr = J_pr * cam_free[:, None, :]
+            U = U + jnp.einsum("vri,vrj->vij", J_pr, J_pr)
+            bc = bc - jnp.einsum("vri,vr->vi", J_pr, r_pr)
 
         # LM damping (Marquardt: scale diagonals).
         eyeV = jnp.eye(6, dtype=dtype)
