@@ -18,7 +18,12 @@ from ..ops import rotation as rotops
 from ..sfm.reconstruction import CameraIntrinsicsPrior, Reconstruction
 from ..sfm.view_graph import TwoViewInfo, ViewGraph
 
-__all__ = ["SyntheticSceneOptions", "generate_scene", "add_view_graph_edges"]
+__all__ = [
+    "SyntheticSceneOptions",
+    "generate_scene",
+    "add_view_graph_edges",
+    "random_reconstruction",
+]
 
 
 @dataclasses.dataclass
@@ -80,7 +85,11 @@ def generate_scene(options: SyntheticSceneOptions | None = None):
         principal_point=(opt.image_width / 2.0, opt.image_height / 2.0),
     )
     for v in range(V):
-        recon.add_view(f"view_{v:04d}", group_id=None, prior=prior)
+        # Fresh prior per view: view_priors rows must be independently
+        # mutable (per-view position/orientation/gravity priors).
+        recon.add_view(
+            f"view_{v:04d}", group_id=None, prior=dataclasses.replace(prior)
+        )
         recon.view_extrinsics[v] = ext[v]
     recon.set_camera_intrinsics_from_priors()
     for _ in range(T):
@@ -108,6 +117,35 @@ def generate_scene(options: SyntheticSceneOptions | None = None):
             recon.add_observation(v, int(t), uv[t] + noise[t])
 
     return recon, ext, points
+
+
+def random_reconstruction(
+    num_views: int = 6,
+    num_tracks: int = 40,
+    seed: int = 0,
+    pixel_noise: float = 0.0,
+    **kwargs,
+) -> Reconstruction:
+    """A fully-estimated random reconstruction at the GT optimum — the
+    direct analogue of the reference's `RandomReconGenerator.generate_random_recon`
+    (`pytests/sfm/random_recon_gen.py:27`): GT poses + triangulated points
+    with all views/tracks marked estimated, ready for BA/covariance tests."""
+    opt = SyntheticSceneOptions(
+        num_views=num_views,
+        num_tracks=num_tracks,
+        seed=seed,
+        pixel_noise=pixel_noise,
+        **kwargs,
+    )
+    recon, ext, points = generate_scene(opt)
+    recon.view_estimated[:] = True
+    recon.points[:, :3] = points
+    recon.points[:, 3] = 1.0
+    # Only tracks with >= 2 observations participate in BA.
+    recon.track_estimated[:] = [
+        len(recon.track_observations(t)) >= 2 for t in range(recon.num_tracks())
+    ]
+    return recon
 
 
 def add_view_graph_edges(
