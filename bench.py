@@ -1,13 +1,17 @@
-"""Headline benchmark: bundle adjustment wall-clock at 1DSfM Notre-Dame scale.
+"""Headline benchmarks: BA wall-clock at 1DSfM Notre-Dame scale + matched
+descriptor pairs per second per chip.
 
 Prints ONE JSON line:
-  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
+  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N, ...extras}
 
-Baseline: TheiaSfM/Ceres-CPU Notre Dame BA = 196.22 s for the final bundle
-adjustment of 553 cameras (BASELINE.md, docs/content/performance.md:59). We
-synthesize a problem at that scale (553 cameras, 50k tracks, ~300k
-observations), run a fixed 30-iteration LM schedule on the TPU, and report
-wall-clock. vs_baseline > 1 means faster than the reference.
+Baselines (BASELINE.md):
+  - TheiaSfM/Ceres-CPU Notre Dame final BA = 196.22 s for 553 cameras
+    (docs/content/performance.md:59). We synthesize a problem at that scale
+    (553 cameras, 50k tracks, 300k observations), run a fixed 30-iteration LM
+    schedule on the TPU, and report wall-clock; vs_baseline > 1 = faster.
+  - The reference publishes no matcher throughput; matched_pairs_per_s is
+    reported absolute (4096x4096 descriptors, 128-D, bf16 MXU matmul +
+    Lowe's ratio + symmetric cross-check, batch of 8 image pairs).
 """
 
 from __future__ import annotations
@@ -50,12 +54,11 @@ def build_problem(V=553, T=50_000, obs_per_track=6, seed=0, dtype=np.float32):
     obs_view = rng.integers(0, V, size=T * obs_per_track).astype(np.int32)
     # Project (vectorized, on host in f64 for clean GT).
     from pytheiasfm_tpu.models import camera as cam
-    from pytheiasfm_tpu.models.intrinsics import CameraIntrinsicsModelType as M2
 
     ext_o = ext[obs_view]
     pts_o = points[obs_track]
     depth, pixel = cam.project_point(
-        jnp.asarray(ext_o), jnp.asarray(params), jnp.asarray(pts_o), M2.PINHOLE
+        jnp.asarray(ext_o), jnp.asarray(params), jnp.asarray(pts_o), M.PINHOLE
     )
     depth = np.asarray(depth)
     pixel = np.asarray(pixel)
@@ -73,8 +76,10 @@ def build_problem(V=553, T=50_000, obs_per_track=6, seed=0, dtype=np.float32):
 
     return dict(
         extrinsics=jnp.asarray(ext_n, dtype),
+        intrinsics=jnp.asarray(params, dtype)[None, :],
         points=jnp.asarray(pts_n, dtype),
-        intrinsics_rows=jnp.asarray(np.tile(params, (O, 1)), dtype),
+        view_group=jnp.zeros((V,), jnp.int32),
+        group_model_idx=jnp.zeros((1,), jnp.int32),
         obs_view=jnp.asarray(obs_view),
         obs_track=jnp.asarray(obs_track),
         obs_uv=jnp.asarray(uv, dtype),
@@ -82,13 +87,16 @@ def build_problem(V=553, T=50_000, obs_per_track=6, seed=0, dtype=np.float32):
         obs_mask=jnp.asarray(mask),
         camera_free=jnp.asarray(cam_free),
         point_free=jnp.ones(T, bool),
+        intrinsics_free=jnp.zeros((1, params.shape[0]), bool),
+        track_ref_view=jnp.zeros((T,), jnp.int32),
+        track_bearing=jnp.zeros((T, 3), dtype),
         V=V,
         T=T,
         O=O,
     )
 
 
-def main():
+def bench_ba():
     import jax
 
     from pytheiasfm_tpu.ba import BundleAdjustmentOptions, bundle_adjust
@@ -100,23 +108,23 @@ def main():
         max_num_iterations=iters,
         function_tolerance=0.0,  # run the full fixed schedule
         linear_solver_iterations=30,
+        linear_solver_tolerance=0.0,  # fixed PCG trips for a like-for-like timing
+    )
+
+    arg_names = (
+        "extrinsics", "intrinsics", "points", "view_group", "group_model_idx",
+        "obs_view", "obs_track", "obs_uv", "obs_sqrt_info", "obs_mask",
+        "camera_free", "point_free", "intrinsics_free", "track_ref_view",
+        "track_bearing",
     )
 
     def run():
-        ext, pts, summary = bundle_adjust(
-            prob["extrinsics"],
-            prob["points"],
-            prob["intrinsics_rows"],
-            prob["obs_view"],
-            prob["obs_track"],
-            prob["obs_uv"],
-            prob["obs_sqrt_info"],
-            prob["obs_mask"],
-            prob["camera_free"],
-            prob["point_free"],
-            model=int(M.PINHOLE),
+        ext, q, pts, summary = bundle_adjust(
+            *(prob[k] for k in arg_names),
+            present_models=(int(M.PINHOLE),),
             num_views=prob["V"],
             num_tracks=prob["T"],
+            num_groups=1,
             options=options,
         )
         return ext, pts, summary
@@ -129,17 +137,60 @@ def main():
     out = run()
     jax.block_until_ready(out[:2])
     elapsed = time.perf_counter() - t0
-
     summary = out[2]
+    return elapsed, iters, summary
+
+
+def bench_matching(n_desc=4096, dim=128, pairs=8, reps=5):
+    """Matched pairs/s/chip: image pairs fully matched per second (4096x4096
+    descriptors each, Lowe ratio + symmetric check) + raw descriptor-pair
+    comparisons/s for the roofline view."""
+    import jax
+    import jax.numpy as jnp
+
+    from pytheiasfm_tpu.matching.brute_force import match_descriptors_batch
+
+    rng = np.random.default_rng(0)
+    d1 = rng.normal(size=(pairs, n_desc, dim)).astype(np.float32)
+    d2 = rng.normal(size=(pairs, n_desc, dim)).astype(np.float32)
+    # L2-normalized descriptors like SIFT/deep features.
+    d1 /= np.linalg.norm(d1, axis=-1, keepdims=True)
+    d2 /= np.linalg.norm(d2, axis=-1, keepdims=True)
+    d1, d2 = jnp.asarray(d1), jnp.asarray(d2)
+    m = jnp.ones((pairs, n_desc), bool)
+    ratio = jnp.asarray(0.8, jnp.float32)
+
+    out = match_descriptors_batch(d1, d2, m, m, ratio)
+    jax.block_until_ready(out)
+    t0 = time.perf_counter()
+    for _ in range(reps):
+        out = match_descriptors_batch(d1, d2, m, m, ratio)
+        jax.block_until_ready(out)
+    dt = (time.perf_counter() - t0) / reps
+    image_pairs_per_s = pairs / dt
+    # Each image pair computes n_desc^2 descriptor distances (2*D flops for
+    # the matmul term alone) — the MXU-bound part of the kernel.
+    matmul_tflops = pairs * (2.0 * n_desc * n_desc * dim) / dt / 1e12
+    return image_pairs_per_s, matmul_tflops, n_desc, dim, pairs
+
+
+def main():
+    elapsed, iters, summary = bench_ba()
+    pairs_per_s, matmul_tflops, n_desc, dim, batch = bench_matching()
+
     baseline_s = 196.22  # Notre Dame BA, Ceres CPU (BASELINE.md)
     result = {
         "metric": "ba_wallclock_notre_dame_scale",
         "value": round(elapsed, 4),
         "unit": f"s per {iters}-iter LM BA (553 cams, 50k tracks, 300k obs)",
         "vs_baseline": round(baseline_s / elapsed, 2),
+        "ba_s_per_iter": round(elapsed / iters, 4),
         "final_cost": float(summary.final_cost),
         "initial_cost": float(summary.initial_cost),
         "lm_iterations": int(summary.num_iterations),
+        "matched_pairs_per_s": round(pairs_per_s, 2),
+        "matcher_config": f"{n_desc}x{n_desc} desc, {dim}-D, batch {batch}, bf16",
+        "matcher_matmul_tflops": round(matmul_tflops, 2),
     }
     print(json.dumps(result))
 

@@ -16,7 +16,12 @@ from __future__ import annotations
 
 import numpy as np
 
-from .lm import BundleAdjustmentOptions, BundleAdjustmentSummary, bundle_adjust
+from .lm import (
+    BundleAdjustmentOptions,
+    BundleAdjustmentSummary,
+    TrackParametrizationType,
+    bundle_adjust,
+)
 
 __all__ = [
     "bundle_adjust_reconstruction",
@@ -51,12 +56,13 @@ def _gather_problem(recon, view_sel, track_sel, dtype):
     O = len(rows)
     Opad = _pad_pow2(max(O, 1))
 
-    models = {int(recon.group_model[g]) for g in np.unique(recon.view_group)}
-    if len(models) > 1:
-        raise NotImplementedError(
-            "mixed camera models in one BA problem not yet supported"
-        )
-    model = models.pop() if models else 0
+    # Camera models present among participating groups; the kernel
+    # dispatches per observation via the group's index into this tuple.
+    groups_used = {int(g) for g in np.unique(recon.view_group[view_sel])}
+    present = tuple(
+        sorted({int(recon.group_model[g]) for g in groups_used} or {0})
+    )
+    model = present[0]
 
     P = recon.intrinsics.shape[1]
     intr_rows = np.zeros((Opad, P), dtype)
@@ -85,7 +91,21 @@ def _gather_problem(recon, view_sel, track_sel, dtype):
         obs_sqrt_info=obs_info,
         obs_mask=obs_mask,
         model=model,
+        present_models=present,
     )
+
+
+def _rodrigues_np(aa, pts):
+    """Rotate pts [N,3] by angle-axis aa [N,3] (host-side numpy)."""
+    theta = np.linalg.norm(aa, axis=-1, keepdims=True)
+    safe = np.where(theta < 1e-12, 1.0, theta)
+    k = aa / safe
+    c = np.cos(theta)
+    s = np.sin(theta)
+    kxp = np.cross(k, pts)
+    kdp = np.sum(k * pts, axis=-1, keepdims=True)
+    out = pts * c + kxp * s + k * kdp * (1.0 - c)
+    return np.where(theta < 1e-12, pts, out)
 
 
 def _run(
@@ -100,14 +120,102 @@ def _run(
 ):
     import jax.numpy as jnp
 
+    from ..models.intrinsics import intrinsics_subset_mask
+
     prob = _gather_problem(recon, view_sel, track_sel, dtype)
     # Pad parameter axes so the jitted kernel is reused as the scene grows.
     V, T = recon.num_views(), recon.num_tracks()
-    Vp, Tp = _pad_pow2(V, 8), _pad_pow2(T, 64)
+    G = recon.intrinsics.shape[0]
+    P = recon.intrinsics.shape[1]
+    Vp, Tp, Gp = _pad_pow2(V, 8), _pad_pow2(T, 64), _pad_pow2(max(G, 1), 4)
     ext_in = np.zeros((Vp, 6), dtype)
     ext_in[:V] = prob["extrinsics"]
-    pts_in = np.zeros((Tp, 3), dtype)
-    pts_in[:T] = prob["points"]
+
+    # Intrinsics groups: values, view->group, per-group model index into the
+    # static present_models tuple, and the per-group free-subset mask
+    # (OptimizeIntrinsicsType applied per model, camera_intrinsics_model.h:118).
+    present = prob["present_models"]
+    intr_in = np.zeros((Gp, P), dtype)
+    intr_in[:, 0] = 1.0
+    intr_in[:, 1] = 1.0
+    intr_in[:G] = recon.intrinsics.astype(dtype)
+    view_group = np.zeros((Vp,), np.int32)
+    view_group[:V] = recon.view_group
+    group_model_idx = np.zeros((Gp,), np.int32)
+    intr_free = np.zeros((Gp, P), bool)
+    flags = options.intrinsics_to_optimize
+    # Only groups owning at least one participating view get free intrinsics
+    # (the reference never moves parameter blocks with no residuals).
+    free_groups = (
+        {int(g) for g in np.unique(recon.view_group[:V][view_sel[:V]])}
+        if flags
+        else set()
+    )
+    for g in range(G):
+        m = int(recon.group_model[g])
+        group_model_idx[g] = present.index(m) if m in present else 0
+        if flags and g in free_groups:
+            intr_free[g] = intrinsics_subset_mask(recon.group_model[g], flags)[:P]
+
+    # Track parametrization (bundle_adjustment.h:127-131).
+    tp = options.track_parametrization_type
+    track_ref = np.zeros((Tp,), np.int32)
+    track_bearing = np.zeros((Tp, 3), dtype)
+    if tp == TrackParametrizationType.INVERSE_DEPTH:
+        pts_in = np.zeros((Tp, 1), dtype)
+        ref = np.asarray(recon.track_reference_view[:T], np.int64)
+        valid_ref = ref >= 0
+        ref_safe = np.where(valid_ref, ref, 0)
+        c_ref = recon.view_extrinsics[ref_safe, :3]
+        aa_ref = recon.view_extrinsics[ref_safe, 3:]
+        p_ref = _rodrigues_np(aa_ref, prob["points"][:T] - c_ref)
+        depth = np.linalg.norm(p_ref, axis=-1)
+        depth = np.where(depth < 1e-9, 1e-9, depth)
+        # Bearing from the OBSERVED feature ray in the reference view (the
+        # reference stores the undistorted feature bearing, track.h:84 —
+        # using the current point estimate instead would freeze its lateral
+        # error into the parametrization).
+        bearing = p_ref / depth[:, None]
+        from ..models.intrinsics import pixel_to_camera
+
+        for g in range(G):
+            m = recon.group_model[g]
+            rows = [
+                (t, recon._view_track_to_obs[int(ref_safe[t])].get(t))
+                for t in range(T)
+                if valid_ref[t] and int(recon.view_group[ref_safe[t]]) == g
+            ]
+            rows = [(t, r) for (t, r) in rows if r is not None]
+            if not rows:
+                continue
+            t_idx = np.asarray([t for t, _ in rows])
+            uv = recon.obs_uv[[r for _, r in rows]]
+            ray = np.asarray(
+                pixel_to_camera(
+                    np.asarray(recon.intrinsics[g], dtype)[None, :],
+                    np.asarray(uv, dtype),
+                    m,
+                )
+            )
+            n = np.linalg.norm(ray, axis=-1, keepdims=True)
+            bearing[t_idx] = ray / np.where(n < 1e-12, 1.0, n)
+            # Depth along the observed ray = projection of the current point.
+            depth_ray = np.sum(p_ref[t_idx] * bearing[t_idx], axis=-1)
+            depth[t_idx] = np.where(depth_ray > 1e-9, depth_ray, depth[t_idx])
+        track_ref[:T] = ref_safe.astype(np.int32)
+        track_bearing[:T] = bearing.astype(dtype)
+        pts_in[:T, 0] = (1.0 / depth).astype(dtype)
+        point_free = point_free & valid_ref
+    elif tp == TrackParametrizationType.XYZW_MANIFOLD:
+        pts_in = np.zeros((Tp, 4), dtype)
+        pts_in[:, 3] = 1.0
+        p4 = recon.points[:T].astype(np.float64)
+        n = np.linalg.norm(p4, axis=-1, keepdims=True)
+        pts_in[:T] = (p4 / np.where(n < 1e-12, 1.0, n)).astype(dtype)
+    else:
+        pts_in = np.zeros((Tp, 3), dtype)
+        pts_in[:T] = prob["points"]
+
     if orientation_constant:
         # Per-DOF mask: positions free, angle-axis rows frozen (HSfM-style).
         cam_free_p = np.zeros((Vp, 6), bool)
@@ -165,10 +273,12 @@ def _run(
             jnp.asarray(a) for a in (pp, psi, pm, op, osi, om, gp, gsi, gm)
         )
 
-    ext, pts, summary = bundle_adjust(
+    ext, intr_out, pts, summary = bundle_adjust(
         jnp.asarray(ext_in),
+        jnp.asarray(intr_in),
         jnp.asarray(pts_in),
-        jnp.asarray(prob["intrinsics_rows"]),
+        jnp.asarray(view_group),
+        jnp.asarray(group_model_idx),
         jnp.asarray(prob["obs_view"]),
         jnp.asarray(prob["obs_track"]),
         jnp.asarray(prob["obs_uv"]),
@@ -176,17 +286,40 @@ def _run(
         jnp.asarray(prob["obs_mask"]),
         jnp.asarray(cam_free_p),
         jnp.asarray(pt_free_p),
-        model=prob["model"],
+        jnp.asarray(intr_free),
+        jnp.asarray(track_ref),
+        jnp.asarray(track_bearing),
+        present_models=present,
         num_views=Vp,
         num_tracks=Tp,
+        num_groups=Gp,
         options=options,
         priors=priors,
     )
     ext = np.asarray(ext, recon.dtype)[:V]
     pts = np.asarray(pts, recon.dtype)[:T]
     recon.view_extrinsics[camera_free] = ext[camera_free]
-    recon.points[point_free, :3] = pts[point_free]
-    recon.points[point_free, 3] = 1.0
+    if flags:
+        intr_out = np.asarray(intr_out, recon.dtype)[:G]
+        moved = intr_free[:G].any(axis=-1)
+        recon.intrinsics[moved] = intr_out[moved]
+    if tp == TrackParametrizationType.INVERSE_DEPTH:
+        rho = pts[:, 0]
+        recon.track_inverse_depth[point_free] = rho[point_free]
+        depth = 1.0 / np.where(np.abs(rho) < 1e-12, 1e-12, rho)
+        ref = track_ref[:T].astype(np.int64)
+        c_ref = recon.view_extrinsics[ref, :3]
+        aa_ref = recon.view_extrinsics[ref, 3:]
+        p_world = c_ref + _rodrigues_np(
+            -aa_ref, np.asarray(track_bearing[:T], np.float64) * depth[:, None]
+        )
+        recon.points[point_free, :3] = p_world[point_free]
+        recon.points[point_free, 3] = 1.0
+    elif tp == TrackParametrizationType.XYZW_MANIFOLD:
+        recon.points[point_free] = pts[point_free]
+    else:
+        recon.points[point_free, :3] = pts[point_free]
+        recon.points[point_free, 3] = 1.0
     return summary
 
 

@@ -5,23 +5,47 @@ TPU-native replacement for the reference's Ceres-based bundle adjustment
 `bundle_adjustment.{h,cc}` — call stack SURVEY.md §3.4). Ceres builds a
 block-sparse problem (points = Schur group 0, cameras = group 1,
 `bundle_adjuster.h:124`) and runs SPARSE_SCHUR / ITERATIVE_SCHUR. Here the
-same math is expressed as flat batched tensor ops over the observation table:
+same math is expressed as flat batched tensor ops over the observation table.
 
-  residuals   r_o = sqrt_info_o * (project(cam_{v(o)}, X_{t(o)}) - uv_o)
-  blocks      Jc [O,2,6], Jp [O,2,3]  (per-observation, via jacfwd)
-  U_v = sum_o Jc^T Jc   (segment-sum by view)   [V,6,6]
-  V_t = sum_o Jp^T Jp   (segment-sum by track)  [T,3,3]
-  W_o = Jc^T Jp          (one per observation — a track is seen at most once
-                          per view, the reference's track-consistency rule)
+Parameter blocks:
+  extrinsics   [V, 6]   per view ([position, angle-axis], camera.h:204)
+  intrinsics   [G, P]   per shared intrinsics GROUP (reconstruction.cc:131 —
+                        Ceres dedups the shared_ptr parameter block; here the
+                        group is explicit). The per-model free subset follows
+                        `OptimizeIntrinsicsType` (`bundle_adjustment.h:71`,
+                        `camera_intrinsics_model.h:118`).
+  points       [T, K]   K=3 euclidean/XYZW-tangent, K=1 inverse depth;
+                        `TrackParametrizationType`
+                        (`reconstruction_estimator_options.h:92-95`,
+                        `bundle_adjustment.h:127-131`):
+                          XYZW           — dehomogenized 3-vector (same
+                                           optimum as the reference's
+                                           gauge-redundant 4-vector)
+                          XYZW_MANIFOLD  — unit 4-vector, 3-DOF tangent steps
+                                           (`SetHomogeneousPointParametrization`,
+                                           bundle_adjuster.h:121)
+                          INVERSE_DEPTH  — scalar per track w.r.t. a stored
+                                           reference-view bearing
+                                           (`bundle_adjuster.h:79` AddInvTrack,
+                                           track.h:80-88)
 
-The reduced camera system S dc = g is never materialized: S x is applied as
-  S x = U x - sum_o W_o * Vinv_{t(o)} * (sum_{o' in t} W_{o'}^T x_{v(o')})
-(two gathers + two segment-sums per application), solved by PCG with the
-block-Jacobi (Schur-Jacobi) preconditioner — the ITERATIVE_SCHUR +
-SCHUR_JACOBI configuration of the reference
-(`reconstruction_estimator_options.h:291-300`) as pure XLA. Point updates are
-back-substituted per track. The LM loop (damping, accept/reject) runs as a
-`lax.while_loop` so one `jit` covers the whole optimization.
+Gauss-Newton normal equations, with points eliminated by the Schur
+complement. Nothing dense over cameras is materialized: S x is applied
+observation-wise
+
+  y   = Jc xc[v(o)] + Jr xc[ref(t(o))] + Ji xi[g(o)]          [O, 2]
+  S x = Jcamᵀy − Jcamᵀ Jp V⁻¹ Jpᵀ y + μ D x                   (gathers +
+                                                               segment-sums)
+
+and solved by PCG with the block-Jacobi (Schur-Jacobi) preconditioner — the
+reference's ITERATIVE_SCHUR + SCHUR_JACOBI configuration
+(`reconstruction_estimator_options.h:291-300`) as pure XLA, with the PCG
+early-exiting on `linear_solver_tolerance`. Point updates back-substitute
+per track. The LM loop (damping, accept/reject) runs as `lax.while_loop`
+so one `jit` covers the whole optimization.
+
+Mixed camera models are supported: observations dispatch through
+`lax.switch` over the models actually present (one branch = zero overhead).
 
 Masks make the system partial: `BundleAdjustPartialReconstruction`,
 `BundleAdjustView(s)`, `BundleAdjustTrack(s)` (`bundle_adjustment.h:181-219`)
@@ -31,18 +55,34 @@ are all this kernel with different constant-masks.
 from __future__ import annotations
 
 import dataclasses
+import enum
 from functools import partial
 from typing import Optional
 
 import jax
 import jax.numpy as jnp
 
-from ..models import camera as cam
 from ..models import intrinsics as intr
+from ..models.intrinsics import OptimizeIntrinsicsType
 from ..ops import rotation as rotops
 from .losses import LossFunctionType, loss_rho, loss_weight
 
-__all__ = ["BundleAdjustmentOptions", "BundleAdjustmentSummary", "bundle_adjust"]
+__all__ = [
+    "BundleAdjustmentOptions",
+    "BundleAdjustmentSummary",
+    "TrackParametrizationType",
+    "OptimizeIntrinsicsType",
+    "bundle_adjust",
+    "hessian_blocks",
+]
+
+
+class TrackParametrizationType(enum.IntEnum):
+    """Parity: `reconstruction_estimator_options.h:93-95`."""
+
+    XYZW = 0
+    XYZW_MANIFOLD = 1
+    INVERSE_DEPTH = 2
 
 
 @dataclasses.dataclass(frozen=True)
@@ -64,6 +104,13 @@ class BundleAdjustmentOptions:
     # What to optimize (mirrors constant_camera_* flags / intrinsics subsets).
     optimize_cameras: bool = True
     optimize_points: bool = True
+    # Intrinsics subset optimization (`bundle_adjustment.h:120` —
+    # `OptimizeIntrinsicsType` bitmask applied per camera model).
+    intrinsics_to_optimize: OptimizeIntrinsicsType = OptimizeIntrinsicsType.NONE
+    # Track parametrization (`bundle_adjustment.h:127-131`).
+    track_parametrization_type: TrackParametrizationType = (
+        TrackParametrizationType.XYZW
+    )
     # View priors (`bundle_adjustment.h:154-166`, residuals from
     # position_error.h / orientation_error.h / gravity_error.h).
     use_position_priors: bool = False
@@ -83,85 +130,212 @@ class BundleAdjustmentSummary:
     num_iterations: jax.Array
 
 
-def _project_residual(extrinsics6, intrinsics, point3, uv, sqrt_info, model):
+# ---------------------------------------------------------------------------
+# Residuals.
+# ---------------------------------------------------------------------------
+
+
+def _pixel_of(params, p_cam, present_models, model_idx):
+    """Project a camera-frame point through this observation's model.
+
+    With one model present the dispatch is static (no switch in the HLO);
+    with a mixed rig `lax.switch` selects among the present models only.
+    """
+    if len(present_models) == 1:
+        return intr.camera_to_pixel(params, p_cam, present_models[0])
+    branches = [
+        (lambda q, p, m=m: intr.camera_to_pixel(q, p, m)) for m in present_models
+    ]
+    return jax.lax.switch(model_idx, branches, params, p_cam)
+
+
+def _residual_at_point(e6, params, p_world, uv, sqrt_info, present_models, model_idx):
     """One observation's weighted reprojection residual (2-vector).
 
     Mirrors `theia::ReprojectionError` (`camera/reprojection_error.h:50-115`):
     translate, guard near-center points, rotate, project through the camera
     model, weight by the sqrt information of the feature covariance.
     """
-    adjusted = point3 - extrinsics6[:3]
+    adjusted = p_world - e6[:3]
     # Near-center guard (reprojection_error.h:69-80): freeze the residual
     # rather than dividing by ~0.
     too_close = jnp.sum(adjusted * adjusted) < 1e-8
-    p_cam = rotops.angle_axis_rotate_point(extrinsics6[3:], adjusted)
-    pixel = intr.camera_to_pixel(intrinsics, p_cam, model)
+    p_cam = rotops.angle_axis_rotate_point(e6[3:], adjusted)
+    pixel = _pixel_of(params, p_cam, present_models, model_idx)
     r = sqrt_info * (pixel - uv)
     return jnp.where(too_close, jnp.zeros_like(r), r)
 
 
-def _make_blocks(state, obs, model, loss, loss_width, dtype):
-    """Residuals + per-observation Jacobian blocks with IRLS robust weights."""
-    extrinsics, points = state
-    obs_view, obs_track, obs_uv, obs_info, obs_mask, intr_rows = obs
+def _tangent_basis4(x4):
+    """Orthonormal basis [4,3] of the tangent space at unit 4-vector x4
+    (Householder construction — the homogeneous-point manifold of
+    `SetHomogeneousPointParametrization`, bundle_adjuster.h:121)."""
+    n = jnp.linalg.norm(x4)
+    xh = x4 / jnp.maximum(n, 1e-12)
+    sign = jnp.where(xh[3] >= 0, 1.0, -1.0).astype(x4.dtype)
+    v = xh + sign * jnp.asarray([0.0, 0.0, 0.0, 1.0], x4.dtype)
+    H = jnp.eye(4, dtype=x4.dtype) - 2.0 * jnp.outer(v, v) / jnp.maximum(
+        jnp.dot(v, v), 1e-12
+    )
+    return H[:, :3]
 
-    ext_o = extrinsics[obs_view]  # [O, 6]
-    pts_o = points[obs_track]  # [O, 3]
 
-    def f(e6, x3, uv, si, params):
-        return _project_residual(e6, params, x3, uv, si, model)
+def _invdepth_world_point(rho, ref_e6, bearing):
+    """World point of an inverse-depth track: X = c_ref + R_refᵀ (b / ρ)
+    (parity: the inverse-depth reprojection functor,
+    `camera/reprojection_error.h` inverse-depth variant + track.h:80-88)."""
+    depth = 1.0 / jnp.where(jnp.abs(rho) < 1e-12, 1e-12, rho)
+    p_ref = bearing * depth
+    return ref_e6[:3] + rotops.angle_axis_rotate_point(-ref_e6[3:], p_ref)
 
-    def rj(e6, x3, uv, si, params):
-        r = f(e6, x3, uv, si, params)
-        Jc = jax.jacfwd(f, argnums=0)(e6, x3, uv, si, params)
-        Jp = jax.jacfwd(f, argnums=1)(e6, x3, uv, si, params)
-        return r, Jc, Jp
 
-    r, Jc, Jp = jax.vmap(rj)(ext_o, pts_o, obs_uv, obs_info, intr_rows)
+class _Problem:
+    """Static description + per-iteration residual/Jacobian builder."""
 
-    # Robust IRLS weights on the squared norm.
-    s = jnp.sum(r * r, axis=-1)
-    w = loss_weight(s, loss, loss_width) * obs_mask.astype(dtype)
-    sw = jnp.sqrt(w)[..., None]
-    return r * sw, Jc * sw[..., None], Jp * sw[..., None], s
+    def __init__(
+        self,
+        obs,
+        view_group,
+        track_ref_view,
+        track_bearing,
+        present_models,
+        group_model_idx,
+        track_param,
+        loss,
+        loss_width,
+        dtype,
+    ):
+        (self.obs_view, self.obs_track, self.obs_uv, self.obs_info, self.obs_mask) = obs
+        self.view_group = view_group
+        self.obs_group = view_group[self.obs_view]
+        self.track_ref_view = track_ref_view
+        self.track_bearing = track_bearing
+        self.present_models = present_models
+        self.model_idx_o = group_model_idx[self.obs_group]
+        self.track_param = track_param
+        self.loss = loss
+        self.loss_width = loss_width
+        self.dtype = dtype
+        self.K = 1 if track_param == TrackParametrizationType.INVERSE_DEPTH else 3
+        self.invdepth = track_param == TrackParametrizationType.INVERSE_DEPTH
+        self.manifold = track_param == TrackParametrizationType.XYZW_MANIFOLD
+
+    def residuals(self, extrinsics, intrinsics, points, with_jac):
+        """Robust-weighted residuals r [O,2]; if with_jac also
+        (Jc [O,2,6], Jr [O,2,6] or None, Ji [O,2,P], Jp [O,2,K])."""
+        ov, ot = self.obs_view, self.obs_track
+        ext_o = extrinsics[ov]
+        intr_o = intrinsics[self.obs_group]
+        pm, mi = self.present_models, self.model_idx_o
+
+        if self.invdepth:
+            ref_o = self.track_ref_view[ot]
+            ref_e6 = extrinsics[ref_o]
+            bearing_o = self.track_bearing[ot]
+            rho_o = points[ot][:, 0]
+
+            def f(e6, q, rho, re6, b, uv, si, idx):
+                p_w = _invdepth_world_point(rho, re6, b)
+                return _residual_at_point(e6, q, p_w, uv, si, pm, idx)
+
+            def rj(e6, q, rho, re6, b, uv, si, idx):
+                r = f(e6, q, rho, re6, b, uv, si, idx)
+                Jc = jax.jacfwd(f, 0)(e6, q, rho, re6, b, uv, si, idx)
+                Ji = jax.jacfwd(f, 1)(e6, q, rho, re6, b, uv, si, idx)
+                Jp = jax.jacfwd(f, 2)(e6, q, rho, re6, b, uv, si, idx)[..., None]
+                Jr = jax.jacfwd(f, 3)(e6, q, rho, re6, b, uv, si, idx)
+                return r, Jc, Jr, Ji, Jp
+
+            fn = rj if with_jac else (lambda *a: (f(*a), 0, 0, 0, 0))
+            out = jax.vmap(fn)(
+                ext_o, intr_o, rho_o, ref_e6, bearing_o,
+                self.obs_uv, self.obs_info, mi,
+            )
+            r, Jc, Jr, Ji, Jp = out
+        elif self.manifold:
+            x4_o = points[ot]  # [O, 4]
+            basis_o = jax.vmap(_tangent_basis4)(points)[ot]  # [O, 4, 3]
+
+            def f(e6, q, d3, x4, B, uv, si, idx):
+                x4n = x4 + B @ d3
+                w = x4n[3]
+                w = jnp.where(jnp.abs(w) < 1e-12, 1e-12, w)
+                return _residual_at_point(e6, q, x4n[:3] / w, uv, si, pm, idx)
+
+            zeros3 = jnp.zeros((ext_o.shape[0], 3), self.dtype)
+
+            def rj(e6, q, d3, x4, B, uv, si, idx):
+                r = f(e6, q, d3, x4, B, uv, si, idx)
+                Jc = jax.jacfwd(f, 0)(e6, q, d3, x4, B, uv, si, idx)
+                Ji = jax.jacfwd(f, 1)(e6, q, d3, x4, B, uv, si, idx)
+                Jp = jax.jacfwd(f, 2)(e6, q, d3, x4, B, uv, si, idx)
+                return r, Jc, None, Ji, Jp
+
+            fn = rj if with_jac else (lambda *a: (f(*a), 0, None, 0, 0))
+            r, Jc, Jr, Ji, Jp = jax.vmap(fn)(
+                ext_o, intr_o, zeros3, x4_o, basis_o,
+                self.obs_uv, self.obs_info, mi,
+            )
+        else:
+            pts_o = points[ot]  # [O, 3]
+
+            def f(e6, q, p3, uv, si, idx):
+                return _residual_at_point(e6, q, p3, uv, si, pm, idx)
+
+            def rj(e6, q, p3, uv, si, idx):
+                r = f(e6, q, p3, uv, si, idx)
+                Jc = jax.jacfwd(f, 0)(e6, q, p3, uv, si, idx)
+                Ji = jax.jacfwd(f, 1)(e6, q, p3, uv, si, idx)
+                Jp = jax.jacfwd(f, 2)(e6, q, p3, uv, si, idx)
+                return r, Jc, None, Ji, Jp
+
+            fn = rj if with_jac else (lambda *a: (f(*a), 0, None, 0, 0))
+            r, Jc, Jr, Ji, Jp = jax.vmap(fn)(
+                ext_o, intr_o, pts_o, self.obs_uv, self.obs_info, mi
+            )
+
+        # Robust IRLS weights on the squared norm.
+        s = jnp.sum(r * r, axis=-1)
+        w = loss_weight(s, self.loss, self.loss_width) * self.obs_mask.astype(
+            self.dtype
+        )
+        sw = jnp.sqrt(w)[..., None]
+        if not with_jac:
+            return r * sw, s
+        scale = sw[..., None]
+        Jc = Jc * scale
+        Ji = Ji * scale
+        Jp = Jp * scale
+        if self.invdepth:
+            Jr = Jr * scale
+        return r * sw, Jc, Jr, Ji, Jp, s
+
+    def cost(self, extrinsics, intrinsics, points):
+        _, s = self.residuals(extrinsics, intrinsics, points, with_jac=False)
+        raw = loss_rho(s, self.loss, self.loss_width) * self.obs_mask.astype(
+            self.dtype
+        )
+        return 0.5 * jnp.sum(raw)
+
+    def apply_step(self, points, dp):
+        """Apply the point update in the parametrization's chart."""
+        if self.invdepth:
+            return points + dp
+        if self.manifold:
+            basis = jax.vmap(_tangent_basis4)(points)
+            new = points + jnp.einsum("tij,tj->ti", basis, dp)
+            n = jnp.linalg.norm(new, axis=-1, keepdims=True)
+            return new / jnp.maximum(n, 1e-12)
+        return points + dp
 
 
 def _segment_sum(values, segment_ids, num_segments):
     return jax.ops.segment_sum(values, segment_ids, num_segments=num_segments)
 
 
-@partial(jax.jit, static_argnames=("model", "num_views", "num_tracks", "options"))
-def hessian_blocks(
-    extrinsics,
-    points,
-    intrinsics_rows,
-    obs_view,
-    obs_track,
-    obs_uv,
-    obs_sqrt_info,
-    obs_mask,
-    model: int,
-    num_views: int,
-    num_tracks: int,
-    options: BundleAdjustmentOptions,
-):
-    """Per-view [V,6,6] and per-track [T,3,3] Gauss-Newton Hessian blocks
-    plus the total robust cost and residual count.
-
-    These are what `ceres::Covariance` inverts when the other parameter
-    group is held constant (`bundle_adjuster.cc:660-744`): for
-    BundleAdjustView(s)WithCov / BundleAdjustTrack(s)WithCov the problem is
-    block-diagonal, so cov(view) = sigma^2 U_v^{-1} exactly.
-    """
-    dtype = extrinsics.dtype
-    obs = (obs_view, obs_track, obs_uv, obs_sqrt_info, obs_mask, intrinsics_rows)
-    loss = options.loss_function_type
-    width = options.robust_loss_width
-    r, Jc, Jp, s = _make_blocks((extrinsics, points), obs, model, loss, width, dtype)
-    U = _segment_sum(jnp.einsum("ori,orj->oij", Jc, Jc), obs_view, num_views)
-    Vt = _segment_sum(jnp.einsum("ori,orj->oij", Jp, Jp), obs_track, num_tracks)
-    cost = jnp.sum(loss_rho(s, loss, width) * obs_mask.astype(dtype))
-    return U, Vt, cost, jnp.sum(obs_mask)
+# ---------------------------------------------------------------------------
+# Priors (position / orientation / gravity), camera blocks only.
+# ---------------------------------------------------------------------------
 
 
 def _prior_residual(e6, priors_row, dtype):
@@ -192,164 +366,306 @@ def _prior_blocks(extrinsics, priors, dtype):
     return jax.vmap(rj)(extrinsics, *priors)
 
 
+# ---------------------------------------------------------------------------
+# Covariance support blocks (used by the *WithCov entry points).
+# ---------------------------------------------------------------------------
+
+
+@partial(jax.jit, static_argnames=("model", "num_views", "num_tracks", "options"))
+def hessian_blocks(
+    extrinsics,
+    points,
+    intrinsics_rows,
+    obs_view,
+    obs_track,
+    obs_uv,
+    obs_sqrt_info,
+    obs_mask,
+    model: int,
+    num_views: int,
+    num_tracks: int,
+    options: BundleAdjustmentOptions,
+):
+    """Per-view [V,6,6] and per-track [T,3,3] Gauss-Newton Hessian blocks
+    plus the total robust cost and residual count.
+
+    These are what `ceres::Covariance` inverts when the other parameter
+    group is held constant (`bundle_adjuster.cc:660-744`): for
+    BundleAdjustView(s)WithCov / BundleAdjustTrack(s)WithCov the problem is
+    block-diagonal, so cov(view) = sigma^2 U_v^{-1} exactly.
+    """
+    dtype = extrinsics.dtype
+    loss = options.loss_function_type
+    width = options.robust_loss_width
+
+    def f(e6, q, p3, uv, si):
+        return _residual_at_point(e6, q, p3, uv, si, (model,), 0)
+
+    def rj(e6, q, p3, uv, si):
+        r = f(e6, q, p3, uv, si)
+        Jc = jax.jacfwd(f, 0)(e6, q, p3, uv, si)
+        Jp = jax.jacfwd(f, 2)(e6, q, p3, uv, si)
+        return r, Jc, Jp
+
+    r, Jc, Jp = jax.vmap(rj)(
+        extrinsics[obs_view], intrinsics_rows, points[obs_track], obs_uv, obs_sqrt_info
+    )
+    s = jnp.sum(r * r, axis=-1)
+    w = loss_weight(s, loss, width) * obs_mask.astype(dtype)
+    sw = jnp.sqrt(w)[..., None]
+    r, Jc, Jp = r * sw, Jc * sw[..., None], Jp * sw[..., None]
+    U = _segment_sum(jnp.einsum("ori,orj->oij", Jc, Jc), obs_view, num_views)
+    Vt = _segment_sum(jnp.einsum("ori,orj->oij", Jp, Jp), obs_track, num_tracks)
+    cost = jnp.sum(loss_rho(s, loss, width) * obs_mask.astype(dtype))
+    return U, Vt, cost, jnp.sum(obs_mask)
+
+
+# ---------------------------------------------------------------------------
+# The LM kernel.
+# ---------------------------------------------------------------------------
+
+
 @partial(
     jax.jit,
     static_argnames=(
-        "model",
+        "present_models",
         "num_views",
         "num_tracks",
+        "num_groups",
         "options",
     ),
 )
 def bundle_adjust(
     extrinsics,  # [V, 6]
-    points,  # [T, 3]
-    intrinsics_rows,  # [O, P] per-observation intrinsics (gathered by caller)
+    intrinsics,  # [G, P] per shared intrinsics group
+    points,  # [T, 3] | [T, 4] (manifold) | [T, 1] (inverse depth)
+    view_group,  # [V] int32 — intrinsics group of each view
+    group_model_idx,  # [G] int32 — index into present_models per group
     obs_view,  # [O]
     obs_track,  # [O]
     obs_uv,  # [O, 2]
     obs_sqrt_info,  # [O, 2]
     obs_mask,  # [O] bool
-    camera_free,  # [V] bool — cameras allowed to move
+    camera_free,  # [V] or [V, 6] bool — extrinsic DOFs allowed to move
     point_free,  # [T] bool — points allowed to move
-    model: int,
+    intrinsics_free,  # [G, P] bool — per-group free intrinsics subset
+    track_ref_view,  # [T] int32 (INVERSE_DEPTH only; else zeros)
+    track_bearing,  # [T, 3] (INVERSE_DEPTH only; else zeros)
+    present_models: tuple,  # static: camera model types present
     num_views: int,
     num_tracks: int,
+    num_groups: int,
     options: BundleAdjustmentOptions,
     priors=None,  # optional 9-tuple of per-view prior arrays (see _prior_residual)
 ):
-    """Run LM to convergence. Returns (extrinsics, points, summary).
-
-    Intrinsics are held constant this round (OptimizeIntrinsicsType::NONE);
-    the caller gathers each observation's intrinsics row so shared groups
-    need no extra indirection here.
-    """
+    """Run LM to convergence. Returns (extrinsics, intrinsics, points, summary)."""
     dtype = extrinsics.dtype
-    V, T = num_views, num_tracks
-    loss = options.loss_function_type
-    width = options.robust_loss_width
-    obs = (obs_view, obs_track, obs_uv, obs_sqrt_info, obs_mask, intrinsics_rows)
+    V, T, G = num_views, num_tracks, num_groups
+    P = intrinsics.shape[1]
+
+    prob = _Problem(
+        (obs_view, obs_track, obs_uv, obs_sqrt_info, obs_mask),
+        view_group,
+        track_ref_view,
+        track_bearing,
+        present_models,
+        group_model_idx,
+        options.track_parametrization_type,
+        options.loss_function_type,
+        options.robust_loss_width,
+        dtype,
+    )
+    K = prob.K
+    obs_group = prob.obs_group
+    invdepth = prob.invdepth
+    ref_o = track_ref_view[obs_track] if invdepth else None
 
     # camera_free may be [V] (whole camera) or [V, 6] (per-DOF — e.g. the
     # hybrid pipeline holds orientations constant, HSfM Cui CVPR'17).
     if camera_free.ndim == 1:
         camera_free = camera_free[..., None]
     cam_free = (camera_free & options.optimize_cameras).astype(dtype)
-    cam_free = jnp.broadcast_to(cam_free, (num_views, 6))
+    cam_free = jnp.broadcast_to(cam_free, (V, 6))
     pt_free = (point_free & options.optimize_points)[..., None].astype(dtype)
+    intr_free = intrinsics_free.astype(dtype)
 
     def cost_of(state):
-        _, _, _, s = _make_blocks(state, obs, model, loss, width, dtype)
-        raw = loss_rho(s, loss, width) * obs_mask.astype(dtype)
-        c = 0.5 * jnp.sum(raw)
+        ext, q, pts = state
+        c = prob.cost(ext, q, pts)
         if priors is not None:
-            r_pr, _ = _prior_blocks(state[0], priors, dtype)
+            r_pr, _ = _prior_blocks(ext, priors, dtype)
             c = c + 0.5 * jnp.sum(r_pr * r_pr)
         return c
 
     def lm_step(state, mu):
-        """One LM iteration: build blocks, solve, propose a step."""
-        extrinsics_c, points_c = state
-        r, Jc, Jp, _ = _make_blocks(state, obs, model, loss, width, dtype)
+        """One LM iteration: build blocks, PCG-solve the camera system,
+        back-substitute points, propose a step."""
+        ext_c, intr_c, pts_c = state
+        r, Jc, Jr, Ji, Jp, _ = prob.residuals(ext_c, intr_c, pts_c, with_jac=True)
 
-        # Freeze constant parameters by zeroing their Jacobians.
+        # Freeze constant parameters by zeroing their Jacobian columns.
         Jc = Jc * cam_free[obs_view][:, None, :]
+        Ji = Ji * intr_free[obs_group][:, None, :]
         Jp = Jp * pt_free[obs_track][:, None, :]
-
-        U = _segment_sum(jnp.einsum("ori,orj->oij", Jc, Jc), obs_view, V)
-        Vt = _segment_sum(jnp.einsum("ori,orj->oij", Jp, Jp), obs_track, T)
-        W = jnp.einsum("ori,orj->oij", Jc, Jp)  # [O, 6, 3]
-        bc = -_segment_sum(jnp.einsum("ori,or->oi", Jc, r), obs_view, V)
-        bp = -_segment_sum(jnp.einsum("ori,or->oi", Jp, r), obs_track, T)
+        if invdepth:
+            Jr = Jr * cam_free[ref_o][:, None, :]
 
         if priors is not None:
-            # Prior residuals touch only camera blocks: dense per-view adds.
-            r_pr, J_pr = _prior_blocks(extrinsics_c, priors, dtype)
+            r_pr, J_pr = _prior_blocks(ext_c, priors, dtype)
             J_pr = J_pr * cam_free[:, None, :]
-            U = U + jnp.einsum("vri,vrj->vij", J_pr, J_pr)
+        else:
+            r_pr = J_pr = None
+
+        # Gradients (RHS). b = -Jᵀ r per block.
+        bc = -_segment_sum(jnp.einsum("ori,or->oi", Jc, r), obs_view, V)
+        if invdepth:
+            bc = bc - _segment_sum(jnp.einsum("ori,or->oi", Jr, r), ref_o, V)
+        bi = -_segment_sum(jnp.einsum("ori,or->oi", Ji, r), obs_group, G)
+        bp = -_segment_sum(jnp.einsum("ori,or->oi", Jp, r), obs_track, T)
+        if J_pr is not None:
             bc = bc - jnp.einsum("vri,vr->vi", J_pr, r_pr)
 
-        # LM damping (Marquardt: scale diagonals).
-        eyeV = jnp.eye(6, dtype=dtype)
-        eyeT = jnp.eye(3, dtype=dtype)
-        diagU = jnp.einsum("vii->vi", U)
+        # Damping diagonals D = diag(JᵀJ), clamped away from zero.
+        Dc = _segment_sum(jnp.einsum("ori,ori->oi", Jc, Jc), obs_view, V)
+        if invdepth:
+            Dc = Dc + _segment_sum(jnp.einsum("ori,ori->oi", Jr, Jr), ref_o, V)
+        if J_pr is not None:
+            Dc = Dc + jnp.einsum("vri,vri->vi", J_pr, J_pr)
+        Di = _segment_sum(jnp.einsum("ori,ori->oi", Ji, Ji), obs_group, G)
+        Dc = jnp.maximum(Dc, 1e-6)
+        Di = jnp.maximum(Di, 1e-6)
+
+        # Point blocks, damped, inverted ([T,K,K] with K in {1,3}).
+        Vt = _segment_sum(jnp.einsum("ori,orj->oij", Jp, Jp), obs_track, T)
         diagVt = jnp.einsum("tii->ti", Vt)
-        U_d = U + mu * (eyeV * jnp.maximum(diagU, 1e-6)[..., None, :])
-        Vt_d = Vt + mu * (eyeT * jnp.maximum(diagVt, 1e-6)[..., None, :])
-        # Guard empty tracks/views.
-        Vt_d = Vt_d + 1e-10 * eyeT
-        U_d = U_d + 1e-10 * eyeV
+        eyeK = jnp.eye(K, dtype=dtype)
+        Vt_d = Vt + mu * (eyeK * jnp.maximum(diagVt, 1e-6)[..., None, :]) + 1e-10 * eyeK
+        Vinv = jnp.linalg.inv(Vt_d)
 
-        Vinv = jnp.linalg.inv(Vt_d)  # [T, 3, 3]
-
-        # Reduced RHS: g = bc - W Vinv bp (gather/segment ops).
-        Vinv_bp = jnp.einsum("tij,tj->ti", Vinv, bp)
-        g = bc - _segment_sum(
-            jnp.einsum("oij,oj->oi", W, Vinv_bp[obs_track]), obs_view, V
-        )
-
-        # Implicit S @ x.
-        def S_mv(x):  # x [V, 6]
-            Ux = jnp.einsum("vij,vj->vi", U_d, x)
-            Wx = jnp.einsum("oji,oj->oi", W, x[obs_view])  # W^T x: [O, 3]
-            y = _segment_sum(Wx, obs_track, T)
-            z = jnp.einsum("tij,tj->ti", Vinv, y)
-            back = _segment_sum(
-                jnp.einsum("oij,oj->oi", W, z[obs_track]), obs_view, V
+        # Camera-side operator pieces (observation-wise, never materialized).
+        def jcam_apply(xc, xi):
+            y = jnp.einsum("ori,oi->or", Jc, xc[obs_view]) + jnp.einsum(
+                "ori,oi->or", Ji, xi[obs_group]
             )
-            return Ux - back
+            if invdepth:
+                y = y + jnp.einsum("ori,oi->or", Jr, xc[ref_o])
+            return y
 
-        # Schur-Jacobi preconditioner: diagonal blocks of S.
-        WVW = _segment_sum(
-            jnp.einsum("oij,ojk,olk->oil", W, Vinv[obs_track], W), obs_view, V
+        def jcam_adjoint(y):
+            gc = _segment_sum(jnp.einsum("ori,or->oi", Jc, y), obs_view, V)
+            if invdepth:
+                gc = gc + _segment_sum(jnp.einsum("ori,or->oi", Jr, y), ref_o, V)
+            gi = _segment_sum(jnp.einsum("ori,or->oi", Ji, y), obs_group, G)
+            return gc, gi
+
+        def schur_correct(y):
+            """Jcamᵀ Jp V⁻¹ Jpᵀ y — the point-elimination coupling."""
+            t = _segment_sum(jnp.einsum("ori,or->oi", Jp, y), obs_track, T)
+            z = jnp.einsum("tij,tj->ti", Vinv, t)
+            w = jnp.einsum("ori,oi->or", Jp, z[obs_track])
+            return jcam_adjoint(w), t
+
+        def S_mv(x):
+            xc, xi = x
+            y = jcam_apply(xc, xi)
+            (ac, ai) = jcam_adjoint(y)
+            (bc_, bi_), _ = schur_correct(y)
+            sc = ac - bc_ + mu * Dc * xc
+            si = ai - bi_ + mu * Di * xi
+            if J_pr is not None:
+                sc = sc + jnp.einsum("vri,vrj,vj->vi", J_pr, J_pr, xc)
+            return (sc, si)
+
+        # Reduced RHS: g = b_cam - Jcamᵀ Jp V⁻¹ bp.
+        Vinv_bp = jnp.einsum("tij,tj->ti", Vinv, bp)
+        w0 = jnp.einsum("ori,oi->or", Jp, Vinv_bp[obs_track])
+        (cc, ci) = jcam_adjoint(w0)
+        g = (bc - cc, bi - ci)
+
+        # Schur-Jacobi preconditioner: diagonal blocks of S per view/group.
+        Uv = _segment_sum(jnp.einsum("ori,orj->oij", Jc, Jc), obs_view, V)
+        if invdepth:
+            Uv = Uv + _segment_sum(jnp.einsum("ori,orj->oij", Jr, Jr), ref_o, V)
+        if J_pr is not None:
+            Uv = Uv + jnp.einsum("vri,vrj->vij", J_pr, J_pr)
+        Wc = jnp.einsum("ori,orj->oij", Jc, Jp)  # [O, 6, K]
+        corr_v = _segment_sum(
+            jnp.einsum("oij,ojk,olk->oil", Wc, Vinv[obs_track], Wc), obs_view, V
         )
-        M = U_d - WVW + 1e-8 * eyeV
-        Minv = jnp.linalg.inv(M)
+        eye6 = jnp.eye(6, dtype=dtype)
+        Mv = Uv - corr_v + mu * (eye6 * Dc[..., None, :])
+        Mv = Mv + (1.0 - cam_free)[..., None, :] * eye6 + 1e-8 * eye6
+        Mv_inv = jnp.linalg.inv(Mv)
+
+        Ug = _segment_sum(jnp.einsum("ori,orj->oij", Ji, Ji), obs_group, G)
+        Wi = jnp.einsum("ori,orj->oij", Ji, Jp)  # [O, P, K]
+        corr_g = _segment_sum(
+            jnp.einsum("oij,ojk,olk->oil", Wi, Vinv[obs_track], Wi), obs_group, G
+        )
+        eyeP = jnp.eye(P, dtype=dtype)
+        Mg = Ug - corr_g + mu * (eyeP * Di[..., None, :])
+        Mg = Mg + (1.0 - intr_free)[..., None, :] * eyeP + 1e-8 * eyeP
+        Mg_inv = jnp.linalg.inv(Mg)
 
         def precond(x):
-            return jnp.einsum("vij,vj->vi", Minv, x)
+            xc, xi = x
+            return (
+                jnp.einsum("vij,vj->vi", Mv_inv, xc),
+                jnp.einsum("gij,gj->gi", Mg_inv, xi),
+            )
 
-        # PCG on S dc = g.
-        def pcg_body(i, carry):
-            x, rres, z, p, rz = carry
+        def dot(a, b):
+            return jnp.sum(a[0] * b[0]) + jnp.sum(a[1] * b[1])
+
+        # PCG on S dx = g with relative-residual early exit
+        # (linear_solver_tolerance, mirroring Ceres' per-solve eta).
+        g_norm2 = dot(g, g)
+        tol2 = (options.linear_solver_tolerance**2) * g_norm2
+
+        def pcg_cond(carry):
+            _, rres, _, _, rz, i = carry
+            return (i < options.linear_solver_iterations) & (dot(rres, rres) > tol2)
+
+        def pcg_body(carry):
+            x, rres, z, p, rz, i = carry
             Sp = S_mv(p)
-            pSp = jnp.sum(p * Sp)
+            pSp = dot(p, Sp)
             alpha = rz / jnp.where(pSp == 0, 1.0, pSp)
-            x = x + alpha * p
-            rres = rres - alpha * Sp
+            x = jax.tree_util.tree_map(lambda a, b: a + alpha * b, x, p)
+            rres = jax.tree_util.tree_map(lambda a, b: a - alpha * b, rres, Sp)
             z_new = precond(rres)
-            rz_new = jnp.sum(rres * z_new)
+            rz_new = dot(rres, z_new)
             beta = rz_new / jnp.where(rz == 0, 1.0, rz)
-            p = z_new + beta * p
-            return x, rres, z_new, p, rz_new
+            p = jax.tree_util.tree_map(lambda a, b: a + beta * b, z_new, p)
+            return x, rres, z_new, p, rz_new, i + 1
 
-        x0 = jnp.zeros_like(g)
+        x0 = (jnp.zeros_like(g[0]), jnp.zeros_like(g[1]))
         z0 = precond(g)
-        carry = (x0, g, z0, z0, jnp.sum(g * z0))
-        carry = jax.lax.fori_loop(
-            0, options.linear_solver_iterations, pcg_body, carry
-        )
-        dc = carry[0]  # [V, 6]
+        carry = (x0, g, z0, z0, dot(g, z0), jnp.asarray(0, jnp.int32))
+        carry = jax.lax.while_loop(pcg_cond, pcg_body, carry)
+        dc, di = carry[0]
 
-        # Back-substitute points: dp = Vinv (bp - W^T dc).
-        Wt_dc = _segment_sum(
-            jnp.einsum("oji,oj->oi", W, dc[obs_view]), obs_track, T
-        )
-        dp = jnp.einsum("tij,tj->ti", Vinv, bp - Wt_dc)
+        # Back-substitute points: dp = V⁻¹ (bp − Jpᵀ Jcam dx).
+        y = jcam_apply(dc, di)
+        t = _segment_sum(jnp.einsum("ori,or->oi", Jp, y), obs_track, T)
+        dp = jnp.einsum("tij,tj->ti", Vinv, bp - t)
 
         dc = dc * cam_free
+        di = di * intr_free
         dp = dp * pt_free
-        new_state = (extrinsics_c + dc, points_c + dp)
+        new_state = (ext_c + dc, intr_c + di, prob.apply_step(pts_c, dp))
 
         # Predicted reduction for the gain ratio:
-        # 0.5 * dx^T (mu * D * dx + g) with g = -J^T r (= bc/bp here).
+        # 0.5 * dxᵀ (mu * D * dx + g) with g = -Jᵀ r (= b here).
         pred = 0.5 * (
-            jnp.sum(dc * (mu * jnp.maximum(diagU, 1e-6) * dc + bc))
+            jnp.sum(dc * (mu * Dc * dc + bc))
+            + jnp.sum(di * (mu * Di * di + bi))
             + jnp.sum(dp * (mu * jnp.maximum(diagVt, 1e-6) * dp + bp))
         )
         return new_state, pred
 
-    initial_cost = cost_of((extrinsics, points))
+    state0 = (extrinsics, intrinsics, points)
+    initial_cost = cost_of(state0)
 
     def while_cond(carry):
         state, mu, cost, it, done = carry
@@ -365,7 +681,10 @@ def bundle_adjust(
         gain = actual / jnp.maximum(pred, 1e-30)
         mu_new = jnp.where(
             accept,
-            mu * jnp.maximum(1.0 / 3.0, 1.0 - (2.0 * jnp.clip(gain, 0.0, 1.0) - 1.0) ** 3),
+            mu
+            * jnp.maximum(
+                1.0 / 3.0, 1.0 - (2.0 * jnp.clip(gain, 0.0, 1.0) - 1.0) ** 3
+            ),
             mu * 4.0,
         )
         mu_new = jnp.clip(mu_new, 1e-12, 1e10)
@@ -379,14 +698,14 @@ def bundle_adjust(
 
     mu0 = jnp.asarray(1.0 / options.initial_trust_region_radius, dtype)
     carry = (
-        (extrinsics, points),
+        state0,
         mu0,
         initial_cost,
         jnp.asarray(0, jnp.int32),
         jnp.asarray(False),
     )
     carry = jax.lax.while_loop(while_cond, while_body, carry)
-    (ext_out, pts_out), _, final_cost, iters, _ = carry
+    (ext_out, intr_out, pts_out), _, final_cost, iters, _ = carry
 
     summary = BundleAdjustmentSummary(
         success=jnp.isfinite(final_cost) & (final_cost <= initial_cost),
@@ -394,4 +713,4 @@ def bundle_adjust(
         final_cost=final_cost,
         num_iterations=iters,
     )
-    return ext_out, pts_out, summary
+    return ext_out, intr_out, pts_out, summary

@@ -1,0 +1,771 @@
+"""Theia ``.recon`` (cereal portable-binary) reader/writer.
+
+Parity: `theia::ReadReconstruction` / `WriteReconstruction`
+(`io/reconstruction_reader.cc:38,71`, `io/reconstruction_writer.cc:38,72`) and
+`ReadViewGraph` / `WriteViewGraph`. The reference serializes the whole object
+graph with cereal's ``PortableBinaryArchive``; this module is a from-scratch
+Python codec for that wire format so the reference's ground-truth fixtures
+(`data/sfm/fountain11.bin`, `gt_fountain11.bin`) can be loaded for
+cross-validation, and our reconstructions can be exported back for the
+reference tooling to consume.
+
+Wire format (cereal 1.x portable binary, all little-endian here):
+  - archive header: 1 byte endianness flag (1 = little endian)
+  - versioned types (``serialize(ar, version)``): a uint32 class version is
+    written once per archive, immediately before the first instance of each
+    distinct type
+  - std::string / std::vector: uint64 size + raw payload
+  - std::unordered_map / set: uint64 size + entries (key then value)
+  - Eigen matrices (`io/eigen_serializable.h`): int32 rows, int32 cols, then
+    raw column-major scalars
+  - polymorphic std::shared_ptr: uint32 polymorphic_id (0 = null; MSB set =
+    new type, followed by the registered type-name string; bit30 = static
+    type), then pointer tracking: uint32 ptr id (MSB set = first occurrence,
+    followed by the object payload)
+
+Object layouts follow the reference ``serialize()`` bodies exactly:
+`Reconstruction` (`sfm/reconstruction.h:183`), `View` (`sfm/view.h:119`),
+`Camera` v1 (`camera/camera.h:211`), `CameraIntrinsicsPrior` v4
+(`sfm/camera_intrinsics_prior.h:118`), `Feature` (`sfm/feature.h:110`),
+`Track` (`sfm/track.h:95`), `ViewGraph` (`view_graph/view_graph.h:129`),
+`TwoViewInfo` v1 (`sfm/twoview_info.h:133`).
+
+Two dialects are supported, auto-detected by attempting the modern layout and
+requiring exact end-of-archive consumption:
+  - "modern": the current pyTheia ``serialize()`` bodies above;
+  - "legacy": the layout of the shipped fixtures `data/sfm/fountain11.bin` /
+    `gt_fountain11.bin` (written before the timestamp/prior/inverse-depth
+    additions): Reconstruction has no ``view_timestamp_to_id_``; View is
+    (name, is_estimated, Camera, CameraIntrinsicsPrior, features) with no
+    reverse feature map and no pose priors; Feature is a bare Vector2d;
+    Track is (is_estimated, view_ids, point, color).
+"""
+
+from __future__ import annotations
+
+import struct
+from dataclasses import dataclass, field
+
+import numpy as np
+
+from ..models.intrinsics import NUM_INTRINSICS, CameraIntrinsicsModelType
+from ..sfm.reconstruction import CameraIntrinsicsPrior, Reconstruction
+from ..sfm.view_graph import TwoViewInfo, ViewGraph
+
+__all__ = [
+    "read_theia_reconstruction",
+    "write_theia_reconstruction",
+    "read_theia_view_graph",
+    "write_theia_view_graph",
+]
+
+_MSB = 0x80000000
+_MSB2 = 0x40000000
+
+# cereal registered names (CEREAL_REGISTER_TYPE in camera/*.h) <-> model enum.
+_MODEL_BY_NAME = {
+    "theia::PinholeCameraModel": CameraIntrinsicsModelType.PINHOLE,
+    "theia::PinholeRadialTangentialCameraModel": CameraIntrinsicsModelType.PINHOLE_RADIAL_TANGENTIAL,
+    "theia::FisheyeCameraModel": CameraIntrinsicsModelType.FISHEYE,
+    "theia::FOVCameraModel": CameraIntrinsicsModelType.FOV,
+    "theia::DivisionUndistortionCameraModel": CameraIntrinsicsModelType.DIVISION_UNDISTORTION,
+    "theia::DoubleSphereCameraModel": CameraIntrinsicsModelType.DOUBLE_SPHERE,
+    "theia::ExtendedUnifiedCameraModel": CameraIntrinsicsModelType.EXTENDED_UNIFIED,
+    "theia::OrthographicCameraModel": CameraIntrinsicsModelType.ORTHOGRAPHIC,
+}
+_NAME_BY_MODEL = {v: k for k, v in _MODEL_BY_NAME.items()}
+
+# CameraIntrinsicsPrior.camera_intrinsics_model_type strings (the enum's
+# string form, camera_intrinsics_model_type.h:38-48).
+_PRIOR_MODEL_STR = {
+    "PINHOLE": CameraIntrinsicsModelType.PINHOLE,
+    "PINHOLE_RADIAL_TANGENTIAL": CameraIntrinsicsModelType.PINHOLE_RADIAL_TANGENTIAL,
+    "FISHEYE": CameraIntrinsicsModelType.FISHEYE,
+    "FOV": CameraIntrinsicsModelType.FOV,
+    "DIVISION_UNDISTORTION": CameraIntrinsicsModelType.DIVISION_UNDISTORTION,
+    "DOUBLE_SPHERE": CameraIntrinsicsModelType.DOUBLE_SPHERE,
+    "EXTENDED_UNIFIED": CameraIntrinsicsModelType.EXTENDED_UNIFIED,
+    "ORTHOGRAPHIC": CameraIntrinsicsModelType.ORTHOGRAPHIC,
+}
+_PRIOR_STR_BY_MODEL = {v: k for k, v in _PRIOR_MODEL_STR.items()}
+
+
+# --------------------------------------------------------------------- reader
+
+
+class _Reader:
+    def __init__(self, data: bytes, legacy: bool = False):
+        self.data = data
+        self.off = 0
+        self.legacy = legacy
+        self.versions: dict[str, int] = {}
+        self.poly_names: dict[int, str] = {}
+        self.shared: dict[int, object] = {}
+
+    # primitives ----------------------------------------------------------
+    def raw(self, n: int) -> bytes:
+        b = self.data[self.off : self.off + n]
+        if len(b) != n:
+            raise ValueError("theia_recon: truncated archive")
+        self.off += n
+        return b
+
+    def u8(self) -> int:
+        return self.raw(1)[0]
+
+    def u32(self) -> int:
+        return struct.unpack("<I", self.raw(4))[0]
+
+    def i32(self) -> int:
+        return struct.unpack("<i", self.raw(4))[0]
+
+    def u64(self) -> int:
+        return struct.unpack("<Q", self.raw(8))[0]
+
+    def f64(self) -> float:
+        return struct.unpack("<d", self.raw(8))[0]
+
+    def boolean(self) -> bool:
+        return self.u8() != 0
+
+    def string(self) -> str:
+        n = self.u64()
+        return self.raw(n).decode("utf-8", errors="replace")
+
+    def doubles(self, n: int) -> np.ndarray:
+        return np.frombuffer(self.raw(8 * n), "<f8").copy()
+
+    def eigen(self, dtype="<f8") -> np.ndarray:
+        rows, cols = self.i32(), self.i32()
+        item = np.dtype(dtype).itemsize
+        flat = np.frombuffer(self.raw(rows * cols * item), dtype)
+        # cereal saves Eigen's default (column-major) storage order.
+        return flat.reshape((cols, rows)).T.copy()
+
+    def version(self, type_key: str) -> int:
+        if type_key not in self.versions:
+            self.versions[type_key] = self.u32()
+        return self.versions[type_key]
+
+    # composite types ------------------------------------------------------
+    def prior(self, n: int) -> tuple[bool, np.ndarray]:
+        self.version(f"Prior<{n}>")
+        is_set = self.boolean()
+        vals = self.doubles(n)
+        return is_set, vals
+
+    def intrinsics_prior(self) -> CameraIntrinsicsPrior:
+        """All version branches of the reference's serialize
+        (`camera_intrinsics_prior.h:118-186`): v<=1 uses per-component
+        Prior<1> focal/ppx/ppy/..., v2 a Prior<2> radial, v3 adds the model
+        string, v4 adds the Prior<2> principal point."""
+        v = self.version("CameraIntrinsicsPrior")
+        p = CameraIntrinsicsPrior()
+        if v <= 1:
+            if v >= 1:
+                p.image_width = self.i32()
+                p.image_height = self.i32()
+            set_f, f = self.prior(1)
+            set_ppx, ppx = self.prior(1)
+            set_ppy, ppy = self.prior(1)
+            set_a, a = self.prior(1)
+            set_s, s = self.prior(1)
+            set_r1, r1 = self.prior(1)
+            set_r2, r2 = self.prior(1)
+            if set_f:
+                p.focal_length = float(f[0])
+            if set_ppx and set_ppy:
+                p.principal_point = (float(ppx[0]), float(ppy[0]))
+            if set_a:
+                p.aspect_ratio = float(a[0])
+            if set_s:
+                p.skew = float(s[0])
+            if set_r1 and set_r2:
+                p.radial_distortion = (float(r1[0]), float(r2[0]), 0.0, 0.0)
+            return p
+        p.image_width = self.i32()
+        p.image_height = self.i32()
+        if v >= 3:
+            model_str = self.string()
+            p.camera_intrinsics_model_type = _PRIOR_MODEL_STR.get(
+                model_str, CameraIntrinsicsModelType.PINHOLE
+            )
+        set_f, f = self.prior(1)
+        if set_f:
+            p.focal_length = float(f[0])
+        if v >= 4:
+            set_pp, pp = self.prior(2)
+            if set_pp:
+                p.principal_point = (float(pp[0]), float(pp[1]))
+        set_a, a = self.prior(1)
+        if set_a:
+            p.aspect_ratio = float(a[0])
+        set_s, s = self.prior(1)
+        if set_s:
+            p.skew = float(s[0])
+        if v >= 3:
+            set_rd, rd = self.prior(4)
+        else:
+            set_rd, rd = self.prior(2)
+        if set_rd:
+            p.radial_distortion = tuple(float(x) for x in rd)
+        set_td, td = self.prior(2)
+        if set_td:
+            p.tangential_distortion = tuple(float(x) for x in td)
+        set_pos, pos = self.prior(3)
+        if set_pos:
+            p.position = pos.copy()
+        set_ori, ori = self.prior(3)
+        if set_ori:
+            p.orientation = ori.copy()
+        set_lat, lat = self.prior(1)
+        if set_lat:
+            p.latitude = float(lat[0])
+        set_lon, lon = self.prior(1)
+        if set_lon:
+            p.longitude = float(lon[0])
+        set_alt, alt = self.prior(1)
+        if set_alt:
+            p.altitude = float(alt[0])
+        return p
+
+    def intrinsics_model(self):
+        """Polymorphic shared_ptr<CameraIntrinsicsModel> -> (model_type, params)
+        or a previously-decoded shared object."""
+        poly_id = self.u32()
+        if poly_id == 0:
+            return None
+        if poly_id & _MSB:
+            name = self.string()
+            self.poly_names[poly_id & ~(_MSB | _MSB2)] = name
+        else:
+            name = self.poly_names[poly_id & ~(_MSB | _MSB2)]
+        # ptr_wrapper (memory.hpp:262-271): tracking id, payload on first use.
+        ptr_id = self.u32()
+        if ptr_id == 0:
+            return None
+        key = ptr_id & ~_MSB
+        if not (ptr_id & _MSB):
+            return self.shared[key]
+        model = _MODEL_BY_NAME[name]
+        self.version(name)  # derived class version
+        self.version("CameraIntrinsicsModel")  # base subobject version
+        nparams = self.u64()  # std::vector<double> parameters_
+        params = self.doubles(nparams)
+        obj = (model, params)
+        self.shared[key] = obj
+        return obj
+
+    def camera(self):
+        """-> (extrinsics[6], (model, params) or shared ref, image_size[2])."""
+        v = self.version("Camera")
+        if v > 0:
+            ext = self.doubles(6)
+            model = self.intrinsics_model()
+            size = np.frombuffer(self.raw(8), "<i4").copy()
+        else:
+            # v0: raw [6 extrinsics + 7 pinhole params] then image size
+            # (camera.h:224-249). No pointer sharing in v0 archives.
+            params = self.doubles(13)
+            ext = params[:6]
+            model = (CameraIntrinsicsModelType.PINHOLE, params[6:])
+            size = np.frombuffer(self.raw(8), "<i4").copy()
+        return ext, model, size
+
+    def feature(self):
+        if self.legacy:
+            # Legacy Feature was a bare Eigen::Vector2d (no covariance).
+            pt = self.eigen()
+            return pt.ravel(), np.eye(2), 0.0, 0.0
+        self.version("Feature")
+        pt = self.eigen()  # Vector2d
+        cov = self.eigen()  # Matrix2d
+        depth_prior = self.f64()
+        depth_prior_var = self.f64()
+        return pt.ravel(), cov, depth_prior, depth_prior_var
+
+    def view(self):
+        self.version("View")
+        name = self.string()
+        timestamp = 0.0 if self.legacy else self.f64()
+        is_estimated = self.boolean()
+        cam = self.camera()
+        prior = self.intrinsics_prior()
+        n_feat = self.u64()
+        features = {}
+        for _ in range(n_feat):
+            tid = self.u32()
+            features[tid] = self.feature()
+        if self.legacy:
+            return name, timestamp, is_estimated, cam, prior, features
+        # features_to_tracks_: redundant reverse map; parse and discard.
+        n_rev = self.u64()
+        for _ in range(n_rev):
+            self.feature()
+            self.u32()
+        position_prior = self.eigen().ravel()
+        position_sqrt_info = self.eigen()
+        has_position_prior = self.boolean()
+        gravity_prior = self.eigen().ravel()
+        gravity_sqrt_info = self.eigen()
+        has_gravity_prior = self.boolean()
+        orientation_prior = self.eigen().ravel()
+        orientation_sqrt_info = self.eigen()
+        has_orientation_prior = self.boolean()
+        if has_position_prior:
+            prior.position = position_prior
+            prior.position_sqrt_information = position_sqrt_info
+        if has_gravity_prior:
+            prior.gravity = gravity_prior
+            prior.gravity_sqrt_information = gravity_sqrt_info
+        if has_orientation_prior:
+            prior.orientation = orientation_prior
+            prior.orientation_sqrt_information = orientation_sqrt_info
+        return name, timestamp, is_estimated, cam, prior, features
+
+    def track(self):
+        self.version("Track")
+        is_estimated = self.boolean()
+        n_views = self.u64()
+        view_ids = [self.u32() for _ in range(n_views)]
+        if self.legacy:
+            point = self.eigen().ravel()  # Vector4d
+            color = self.eigen("u1").ravel()  # Matrix<uint8,3,1>
+            return (is_estimated, view_ids, 0xFFFFFFFF, 0.0, point, color, np.zeros(3))
+        reference_view_id = self.u32()
+        inverse_depth = self.f64()
+        point = self.eigen().ravel()  # Vector4d
+        color = self.eigen("u1").ravel()  # Matrix<uint8,3,1>
+        reference_bearing = self.eigen().ravel()
+        # reference_descriptor_: VectorXf (possibly 0x1).
+        self.eigen("<f4")
+        return (
+            is_estimated,
+            view_ids,
+            reference_view_id,
+            inverse_depth,
+            point,
+            color,
+            reference_bearing,
+        )
+
+    def two_view_info(self) -> TwoViewInfo:
+        v = self.version("TwoViewInfo")
+        info = TwoViewInfo()
+        info.focal_length_1 = self.f64()
+        info.focal_length_2 = self.f64()
+        info.position_2 = self.eigen().ravel()
+        info.rotation_2 = self.eigen().ravel()
+        info.num_verified_matches = self.i32()
+        info.num_homography_inliers = self.i32()
+        info.scale_estimate = self.f64()
+        if v > 0:
+            info.visibility_score = self.i32()
+        return info
+
+
+def _parse_reconstruction(data: bytes, legacy: bool):
+    """Parse the archive; returns (views, tracks, view_to_group) keyed by
+    original ids. Raises on any structural mismatch; callers require the
+    archive to be consumed exactly to EOF."""
+    r = _Reader(data, legacy=legacy)
+    if r.u8() != 1:
+        raise NotImplementedError("theia_recon: big-endian archives unsupported")
+    r.version("Reconstruction")
+    r.u32()  # next_track_id_
+    r.u32()  # next_view_id_
+    for _ in range(r.u64()):  # view_name_to_id_ (reconstructed from views_)
+        r.string()
+        r.u32()
+    if not legacy:
+        for _ in range(r.u64()):  # view_timestamp_to_id_
+            r.f64()
+            r.u32()
+    n_views = r.u64()
+    views = {}
+    for _ in range(n_views):
+        vid = r.u32()
+        views[vid] = r.view()
+    n_tracks = r.u64()
+    tracks = {}
+    for _ in range(n_tracks):
+        tid = r.u32()
+        tracks[tid] = r.track()
+    view_to_group = {}
+    for _ in range(r.u64()):
+        vid = r.u32()
+        view_to_group[vid] = r.u32()
+    for _ in range(r.u64()):  # camera_intrinsics_groups_ (redundant)
+        r.u32()
+        for _ in range(r.u64()):
+            r.u32()
+    if r.off != len(data):
+        raise ValueError(
+            f"theia_recon: {len(data) - r.off} trailing bytes (wrong dialect?)"
+        )
+    return views, tracks, view_to_group
+
+
+def read_theia_reconstruction(path: str) -> Reconstruction:
+    """Load a reference ``.recon`` / ``.bin`` file into our SoA container.
+
+    Parity: `theia::ReadReconstruction` (`io/reconstruction_reader.cc:38-71`).
+    View/track ids are remapped densely (ascending original id order); view
+    names, priors, poses, points, colors and per-view features all carry over.
+    Auto-detects the modern vs. legacy serialization dialect.
+    """
+    with open(path, "rb") as f:
+        data = f.read()
+    try:
+        views, tracks, view_to_group = _parse_reconstruction(data, legacy=False)
+    except Exception:
+        views, tracks, view_to_group = _parse_reconstruction(data, legacy=True)
+
+    recon = Reconstruction()
+    vid_map = {}
+    group_map: dict[int, int] = {}
+    for vid in sorted(views):
+        name, timestamp, is_est, (ext, model, size), prior, _ = views[vid]
+        if model is not None:
+            model_type, params = model
+            prior.camera_intrinsics_model_type = model_type
+        if prior.image_width == 0 and size[0] > 0:
+            prior.image_width, prior.image_height = int(size[0]), int(size[1])
+        src_group = view_to_group.get(vid, vid)
+        new_id = recon.add_view(
+            name, group_id=group_map.get(src_group), timestamp=timestamp, prior=prior
+        )
+        group_map.setdefault(src_group, int(recon.view_group[new_id]))
+        vid_map[vid] = new_id
+        recon.view_extrinsics[new_id] = ext
+        recon.view_estimated[new_id] = is_est
+        if model is not None:
+            g = recon.view_group[new_id]
+            n = min(len(params), recon.intrinsics.shape[1])
+            recon.intrinsics[g, :] = 0.0
+            recon.intrinsics[g, :n] = params[:n]
+            recon.group_model[g] = model_type
+
+    # Bulk-assemble tracks and observations (the container's incremental
+    # add_track/add_observation appends are O(n^2) at this scale).
+    tid_map = {}
+    T = len(tracks)
+    recon.points = np.zeros((T, 4), recon.dtype)
+    recon.track_estimated = np.zeros((T,), bool)
+    recon.track_colors = np.zeros((T, 3), np.uint8)
+    recon.track_inverse_depth = np.zeros((T,), recon.dtype)
+    recon.track_reference_view = np.full((T,), -1, np.int32)
+    recon._track_obs = [[] for _ in range(T)]
+    for new_t, tid in enumerate(sorted(tracks)):
+        is_est, _, ref_vid, inv_depth, point, color, _ = tracks[tid]
+        recon.points[new_t] = point
+        recon.track_estimated[new_t] = is_est
+        recon.track_colors[new_t] = color
+        recon.track_inverse_depth[new_t] = inv_depth
+        if ref_vid in vid_map:
+            recon.track_reference_view[new_t] = vid_map[ref_vid]
+        tid_map[tid] = new_t
+
+    obs_view, obs_track, obs_uv, obs_sic, obs_dp, obs_dpv = [], [], [], [], [], []
+    for vid in sorted(views):
+        features = views[vid][5]
+        v_new = vid_map[vid]
+        for tid in sorted(features):
+            if tid not in tid_map:
+                continue
+            pt, cov, depth_prior, depth_prior_var = features[tid]
+            d = np.clip(np.diag(cov), 1e-12, None)
+            obs_view.append(v_new)
+            obs_track.append(tid_map[tid])
+            obs_uv.append(pt)
+            # Diagonal sqrt-inverse covariance, the form our BA consumes.
+            obs_sic.append(1.0 / np.sqrt(d))
+            obs_dp.append(depth_prior)
+            obs_dpv.append(depth_prior_var)
+    O = len(obs_view)
+    recon.obs_view = np.asarray(obs_view, np.int32)
+    recon.obs_track = np.asarray(obs_track, np.int32)
+    recon.obs_uv = np.asarray(obs_uv, recon.dtype).reshape(O, 2)
+    recon.obs_sqrt_inv_cov = np.asarray(obs_sic, recon.dtype).reshape(O, 2)
+    recon.obs_depth_prior = np.asarray(obs_dp, recon.dtype)
+    recon.obs_depth_prior_variance = np.asarray(obs_dpv, recon.dtype)
+    for row in range(O):
+        t, v = int(recon.obs_track[row]), int(recon.obs_view[row])
+        recon._track_obs[t].append(row)
+        recon._view_track_to_obs[v][t] = row
+        if recon.track_reference_view[t] < 0:
+            recon.track_reference_view[t] = v
+    return recon
+
+
+def read_theia_view_graph(path: str) -> ViewGraph:
+    """Parity: `theia::ReadViewGraph` (cereal archive of `ViewGraph`)."""
+    with open(path, "rb") as f:
+        r = _Reader(f.read())
+    if r.u8() != 1:
+        raise NotImplementedError("theia_recon: big-endian archives unsupported")
+    r.version("ViewGraph")
+    for _ in range(r.u64()):  # vertices_ (redundant adjacency)
+        r.u32()
+        for _ in range(r.u64()):
+            r.u32()
+    graph = ViewGraph()
+    for _ in range(r.u64()):
+        v1, v2 = r.u32(), r.u32()
+        graph.add_edge(v1, v2, r.two_view_info())
+    return graph
+
+
+# --------------------------------------------------------------------- writer
+
+
+class _Writer:
+    def __init__(self):
+        self.parts: list[bytes] = []
+        self.versions: set[str] = set()
+        self.poly_ids: dict[str, int] = {}
+        self.next_poly = 1
+        self.shared_ids: dict[int, int] = {}
+        self.next_ptr = 1
+
+    def raw(self, b: bytes):
+        self.parts.append(b)
+
+    def u8(self, x):
+        self.raw(struct.pack("<B", x))
+
+    def u32(self, x):
+        self.raw(struct.pack("<I", x))
+
+    def i32(self, x):
+        self.raw(struct.pack("<i", x))
+
+    def u64(self, x):
+        self.raw(struct.pack("<Q", x))
+
+    def f64(self, x):
+        self.raw(struct.pack("<d", float(x)))
+
+    def boolean(self, x):
+        self.u8(1 if x else 0)
+
+    def string(self, s: str):
+        b = s.encode("utf-8")
+        self.u64(len(b))
+        self.raw(b)
+
+    def doubles(self, arr):
+        self.raw(np.ascontiguousarray(arr, "<f8").tobytes())
+
+    def eigen(self, arr, dtype="<f8"):
+        a = np.asarray(arr)
+        if a.ndim == 1:
+            a = a[:, None]
+        self.i32(a.shape[0])
+        self.i32(a.shape[1])
+        self.raw(np.asfortranarray(a.astype(dtype)).tobytes(order="F"))
+
+    def version(self, type_key: str, v: int):
+        if type_key not in self.versions:
+            self.versions.add(type_key)
+            self.u32(v)
+
+    def prior(self, n: int, values=None):
+        self.version(f"Prior<{n}>", 0)
+        self.boolean(values is not None)
+        vals = np.zeros(n) if values is None else np.asarray(values, "<f8").ravel()
+        out = np.zeros(n)
+        out[: min(n, len(vals))] = vals[: min(n, len(vals))]
+        self.doubles(out)
+
+    def intrinsics_prior(self, p: CameraIntrinsicsPrior):
+        self.version("CameraIntrinsicsPrior", 4)
+        self.i32(p.image_width)
+        self.i32(p.image_height)
+        self.string(_PRIOR_STR_BY_MODEL[p.camera_intrinsics_model_type])
+        self.prior(1, None if p.focal_length is None else [p.focal_length])
+        self.prior(2, p.principal_point)
+        self.prior(1, None if p.aspect_ratio is None else [p.aspect_ratio])
+        self.prior(1, None if p.skew is None else [p.skew])
+        self.prior(4, p.radial_distortion if p.radial_distortion else None)
+        self.prior(2, p.tangential_distortion if p.tangential_distortion else None)
+        self.prior(3, p.position)
+        self.prior(3, p.orientation)
+        self.prior(1, None if p.latitude is None else [p.latitude])
+        self.prior(1, None if p.longitude is None else [p.longitude])
+        self.prior(1, None if p.altitude is None else [p.altitude])
+
+    def intrinsics_model(self, group_key: int, model: CameraIntrinsicsModelType, params):
+        name = _NAME_BY_MODEL[model]
+        if name in self.poly_ids:
+            self.u32(self.poly_ids[name])
+        else:
+            pid = self.next_poly
+            self.next_poly += 1
+            self.poly_ids[name] = pid
+            self.u32(pid | _MSB)
+            self.string(name)
+        if group_key in self.shared_ids:
+            self.u32(self.shared_ids[group_key])
+            return
+        ptr_id = self.next_ptr
+        self.next_ptr += 1
+        self.shared_ids[group_key] = ptr_id
+        self.u32(ptr_id | _MSB)
+        self.version(name, 1)
+        self.version("CameraIntrinsicsModel", 0)
+        n = NUM_INTRINSICS[model]
+        self.u64(n)
+        self.doubles(np.asarray(params)[:n])
+
+    def feature(self, uv, sqrt_inv_cov):
+        self.version("Feature", 0)
+        self.eigen(np.asarray(uv, "<f8"))
+        # Invert our diagonal sqrt-information back to a covariance matrix.
+        sic = np.asarray(sqrt_inv_cov, "<f8")
+        cov = np.diag(1.0 / np.clip(sic, 1e-12, None) ** 2)
+        self.eigen(cov)
+        self.f64(0.0)
+        self.f64(0.0)
+
+    def two_view_info(self, info: TwoViewInfo):
+        self.version("TwoViewInfo", 1)
+        self.f64(info.focal_length_1)
+        self.f64(info.focal_length_2)
+        self.eigen(np.asarray(info.position_2, "<f8"))
+        self.eigen(np.asarray(info.rotation_2, "<f8"))
+        self.i32(int(info.num_verified_matches))
+        self.i32(int(info.num_homography_inliers))
+        self.f64(info.scale_estimate)
+        self.i32(int(getattr(info, "visibility_score", 0)))
+
+    def tobytes(self) -> bytes:
+        return b"".join(self.parts)
+
+
+def write_theia_reconstruction(recon: Reconstruction, path: str) -> None:
+    """Write our container as a reference-compatible ``.recon`` archive.
+
+    Parity: `theia::WriteReconstruction` (`io/reconstruction_writer.cc:38-72`).
+    """
+    w = _Writer()
+    w.u8(1)  # little-endian header
+    w.version("Reconstruction", 0)
+    V, T = recon.num_views(), recon.num_tracks()
+    w.u32(T)  # next_track_id_
+    w.u32(V)  # next_view_id_
+    w.u64(V)
+    for v in range(V):
+        w.string(recon.view_names[v])
+        w.u32(v)
+    w.u64(V)
+    for v in range(V):
+        w.f64(recon.view_timestamps[v])
+        w.u32(v)
+    w.u64(V)
+    for v in range(V):
+        w.u32(v)
+        w.version("View", 0)
+        w.string(recon.view_names[v])
+        w.f64(recon.view_timestamps[v])
+        w.boolean(bool(recon.view_estimated[v]))
+        # Camera v1.
+        w.version("Camera", 1)
+        w.doubles(recon.view_extrinsics[v])
+        g = int(recon.view_group[v])
+        w.intrinsics_model(g, recon.group_model[g], recon.intrinsics[g])
+        prior = recon.view_priors[v]
+        w.raw(struct.pack("<2i", prior.image_width, prior.image_height))
+        w.intrinsics_prior(prior)
+        track_ids = recon.tracks_in_view(v)
+        w.u64(len(track_ids))
+        for t in track_ids:
+            row = recon._view_track_to_obs[v][t]
+            w.u32(t)
+            w.feature(recon.obs_uv[row], recon.obs_sqrt_inv_cov[row])
+        w.u64(len(track_ids))  # features_to_tracks_ reverse map
+        for t in track_ids:
+            row = recon._view_track_to_obs[v][t]
+            w.feature(recon.obs_uv[row], recon.obs_sqrt_inv_cov[row])
+            w.u32(t)
+        pos = prior.position if prior.position is not None else np.zeros(3)
+        pos_info = (
+            prior.position_sqrt_information
+            if prior.position_sqrt_information is not None
+            else np.eye(3)
+        )
+        w.eigen(pos)
+        w.eigen(pos_info)
+        w.boolean(prior.position is not None)
+        grav = prior.gravity if prior.gravity is not None else np.zeros(3)
+        grav_info = (
+            prior.gravity_sqrt_information
+            if prior.gravity_sqrt_information is not None
+            else np.eye(3)
+        )
+        w.eigen(grav)
+        w.eigen(grav_info)
+        w.boolean(prior.gravity is not None)
+        ori = prior.orientation if prior.orientation is not None else np.zeros(3)
+        ori_info = (
+            prior.orientation_sqrt_information
+            if prior.orientation_sqrt_information is not None
+            else np.eye(3)
+        )
+        w.eigen(ori)
+        w.eigen(ori_info)
+        w.boolean(prior.orientation is not None)
+    w.u64(T)
+    for t in range(T):
+        w.u32(t)
+        w.version("Track", 0)
+        w.boolean(bool(recon.track_estimated[t]))
+        rows = recon.track_observations(t)
+        w.u64(len(rows))
+        for r in rows:
+            w.u32(int(recon.obs_view[r]))
+        w.u32(int(recon.track_reference_view[t]) & 0xFFFFFFFF)
+        w.f64(recon.track_inverse_depth[t])
+        w.eigen(np.asarray(recon.points[t], "<f8"))
+        w.eigen(np.asarray(recon.track_colors[t], np.uint8), "u1")
+        w.eigen(np.zeros(3))  # reference_bearing_
+        w.eigen(np.zeros((0, 1), "<f4"), "<f4")  # reference_descriptor_
+    w.u64(V)
+    for v in range(V):
+        w.u32(v)
+        w.u32(int(recon.view_group[v]))
+    groups: dict[int, list[int]] = {}
+    for v in range(V):
+        groups.setdefault(int(recon.view_group[v]), []).append(v)
+    w.u64(len(groups))
+    for g, members in groups.items():
+        w.u32(g)
+        w.u64(len(members))
+        for v in members:
+            w.u32(v)
+    with open(path, "wb") as f:
+        f.write(w.tobytes())
+
+
+def write_theia_view_graph(graph: ViewGraph, path: str) -> None:
+    """Parity: `theia::WriteViewGraph`."""
+    w = _Writer()
+    w.u8(1)
+    w.version("ViewGraph", 0)
+    adjacency: dict[int, set[int]] = {}
+    for (v1, v2) in graph.edges:
+        adjacency.setdefault(v1, set()).add(v2)
+        adjacency.setdefault(v2, set()).add(v1)
+    w.u64(len(adjacency))
+    for v, nbrs in adjacency.items():
+        w.u32(v)
+        w.u64(len(nbrs))
+        for n in nbrs:
+            w.u32(n)
+    w.u64(len(graph.edges))
+    for (v1, v2), info in graph.edges.items():
+        w.u32(v1)
+        w.u32(v2)
+        w.two_view_info(info)
+    with open(path, "wb") as f:
+        f.write(w.tobytes())

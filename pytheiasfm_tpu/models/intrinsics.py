@@ -35,12 +35,15 @@ import jax.numpy as jnp
 
 __all__ = [
     "CameraIntrinsicsModelType",
+    "OptimizeIntrinsicsType",
     "MAX_INTRINSICS",
     "NUM_INTRINSICS",
     "camera_to_pixel",
     "pixel_to_camera",
     "default_intrinsics",
     "make_intrinsics",
+    "make_intrinsics_np",
+    "intrinsics_subset_mask",
     "focal_length",
     "principal_point",
 ]
@@ -133,6 +136,137 @@ def make_intrinsics(
     p = p.at[pp].set(principal_point[0]).at[pp + 1].set(principal_point[1])
     for i, d in enumerate(distortion):
         p = p.at[pp + 2 + i].set(d)
+    return p
+
+
+class OptimizeIntrinsicsType(enum.IntFlag):
+    """Parity: `theia::OptimizeIntrinsicsType` bitmask
+    (`bundle_adjustment.h:71-84`)."""
+
+    NONE = 0x00
+    FOCAL_LENGTH = 0x01
+    ASPECT_RATIO = 0x02
+    SKEW = 0x04
+    PRINCIPAL_POINTS = 0x08
+    RADIAL_DISTORTION = 0x10
+    TANGENTIAL_DISTORTION = 0x20
+    DISTORTION = RADIAL_DISTORTION | TANGENTIAL_DISTORTION
+    FOCAL_LENGTH_RADIAL_DISTORTION = FOCAL_LENGTH | RADIAL_DISTORTION
+    ALL = (
+        FOCAL_LENGTH
+        | ASPECT_RATIO
+        | SKEW
+        | PRINCIPAL_POINTS
+        | RADIAL_DISTORTION
+        | TANGENTIAL_DISTORTION
+    )
+
+
+# Per-model parameter slots selected by each OptimizeIntrinsicsType bit
+# (parity: the per-model GetSubsetFromOptimizeIntrinsicsType implementations,
+# e.g. `pinhole_camera_model.cc:132-162`, `fisheye_camera_model.cc:141-172`,
+# `double_sphere_camera_model.cc` — XI/ALPHA/BETA/OMEGA all count as
+# RADIAL_DISTORTION in the reference).
+_SUBSET_SLOTS = {
+    CameraIntrinsicsModelType.PINHOLE: {
+        OptimizeIntrinsicsType.FOCAL_LENGTH: (0,),
+        OptimizeIntrinsicsType.ASPECT_RATIO: (1,),
+        OptimizeIntrinsicsType.SKEW: (2,),
+        OptimizeIntrinsicsType.PRINCIPAL_POINTS: (3, 4),
+        OptimizeIntrinsicsType.RADIAL_DISTORTION: (5, 6),
+    },
+    CameraIntrinsicsModelType.PINHOLE_RADIAL_TANGENTIAL: {
+        OptimizeIntrinsicsType.FOCAL_LENGTH: (0,),
+        OptimizeIntrinsicsType.ASPECT_RATIO: (1,),
+        OptimizeIntrinsicsType.SKEW: (2,),
+        OptimizeIntrinsicsType.PRINCIPAL_POINTS: (3, 4),
+        OptimizeIntrinsicsType.RADIAL_DISTORTION: (5, 6, 7),
+        OptimizeIntrinsicsType.TANGENTIAL_DISTORTION: (8, 9),
+    },
+    CameraIntrinsicsModelType.FISHEYE: {
+        OptimizeIntrinsicsType.FOCAL_LENGTH: (0,),
+        OptimizeIntrinsicsType.ASPECT_RATIO: (1,),
+        OptimizeIntrinsicsType.SKEW: (2,),
+        OptimizeIntrinsicsType.PRINCIPAL_POINTS: (3, 4),
+        OptimizeIntrinsicsType.RADIAL_DISTORTION: (5, 6, 7, 8),
+    },
+    CameraIntrinsicsModelType.FOV: {
+        OptimizeIntrinsicsType.FOCAL_LENGTH: (0,),
+        OptimizeIntrinsicsType.ASPECT_RATIO: (1,),
+        OptimizeIntrinsicsType.PRINCIPAL_POINTS: (2, 3),
+        OptimizeIntrinsicsType.RADIAL_DISTORTION: (4,),
+    },
+    CameraIntrinsicsModelType.DIVISION_UNDISTORTION: {
+        OptimizeIntrinsicsType.FOCAL_LENGTH: (0,),
+        OptimizeIntrinsicsType.ASPECT_RATIO: (1,),
+        OptimizeIntrinsicsType.PRINCIPAL_POINTS: (2, 3),
+        OptimizeIntrinsicsType.RADIAL_DISTORTION: (4,),
+    },
+    CameraIntrinsicsModelType.DOUBLE_SPHERE: {
+        OptimizeIntrinsicsType.FOCAL_LENGTH: (0,),
+        OptimizeIntrinsicsType.ASPECT_RATIO: (1,),
+        OptimizeIntrinsicsType.SKEW: (2,),
+        OptimizeIntrinsicsType.PRINCIPAL_POINTS: (3, 4),
+        OptimizeIntrinsicsType.RADIAL_DISTORTION: (5, 6),
+    },
+    CameraIntrinsicsModelType.EXTENDED_UNIFIED: {
+        OptimizeIntrinsicsType.FOCAL_LENGTH: (0,),
+        OptimizeIntrinsicsType.ASPECT_RATIO: (1,),
+        OptimizeIntrinsicsType.SKEW: (2,),
+        OptimizeIntrinsicsType.PRINCIPAL_POINTS: (3, 4),
+        OptimizeIntrinsicsType.RADIAL_DISTORTION: (5, 6),
+    },
+    CameraIntrinsicsModelType.ORTHOGRAPHIC: {
+        OptimizeIntrinsicsType.FOCAL_LENGTH: (0,),
+        OptimizeIntrinsicsType.ASPECT_RATIO: (1,),
+        OptimizeIntrinsicsType.SKEW: (2,),
+        OptimizeIntrinsicsType.PRINCIPAL_POINTS: (3, 4),
+        OptimizeIntrinsicsType.RADIAL_DISTORTION: (5, 6),
+    },
+}
+
+
+def intrinsics_subset_mask(
+    model: CameraIntrinsicsModelType, flags: "OptimizeIntrinsicsType"
+):
+    """Boolean [MAX_INTRINSICS] mask of the parameters freed by `flags` for
+    this model (parity: GetSubsetFromOptimizeIntrinsicsType, inverted — the
+    reference returns the constant set)."""
+    import numpy as np
+
+    mask = np.zeros((MAX_INTRINSICS,), bool)
+    for bit, slots in _SUBSET_SLOTS[model].items():
+        if flags & bit:
+            for s in slots:
+                mask[s] = True
+    return mask
+
+
+def make_intrinsics_np(
+    model: CameraIntrinsicsModelType,
+    focal_length: float = 1.0,
+    aspect_ratio: float = 1.0,
+    skew: float = 0.0,
+    principal_point=(0.0, 0.0),
+    distortion=(),
+    dtype=None,
+):
+    """Pure-numpy `make_intrinsics` for host-side containers/IO — building
+    intrinsics rows must not touch the device (a jnp round-trip per view is
+    pathologically slow through a remote-TPU tunnel)."""
+    import numpy as np
+
+    p = np.zeros((MAX_INTRINSICS,), dtype or np.float64)
+    p[0], p[1] = focal_length, aspect_ratio
+    if model == CameraIntrinsicsModelType.EXTENDED_UNIFIED:
+        p[6] = 1.0
+    pp = _PP_INDEX[model]
+    if _HAS_SKEW[model]:
+        p[2] = skew
+    p[pp], p[pp + 1] = principal_point[0], principal_point[1]
+    for i, d in enumerate(distortion):
+        if pp + 2 + i < MAX_INTRINSICS:
+            p[pp + 2 + i] = d
     return p
 
 

@@ -11,7 +11,11 @@ from __future__ import annotations
 import dataclasses
 import enum
 
-from ..ba.lm import BundleAdjustmentOptions
+from ..ba.lm import (
+    BundleAdjustmentOptions,
+    OptimizeIntrinsicsType,
+    TrackParametrizationType,
+)
 from ..ba.losses import LossFunctionType
 from ..ransac.engine import RansacParameters
 from .track_estimator import TriangulationMethodType
@@ -54,14 +58,6 @@ class GlobalPositionEstimatorType(enum.IntEnum):
     LINEAR_TRIPLET = 1
     LEAST_UNSQUARED_DEVIATION = 2
     LIGT = 3
-
-
-class TrackParametrizationType(enum.IntEnum):
-    """Parity: `reconstruction_estimator_options.h:93-95`."""
-
-    XYZW = 0
-    XYZW_MANIFOLD = 1
-    INVERSE_DEPTH = 2
 
 
 class PnPType(enum.IntEnum):
@@ -133,6 +129,7 @@ class ReconstructionEstimatorOptions:
     track_parametrization_type: TrackParametrizationType = (
         TrackParametrizationType.XYZW
     )
+    intrinsics_to_optimize: OptimizeIntrinsicsType = OptimizeIntrinsicsType.NONE
 
     # Track subsampling.
     subsample_tracks_for_bundle_adjustment: bool = False
@@ -170,6 +167,8 @@ def set_bundle_adjustment_options(
         robust_loss_width=options.bundle_adjustment_robust_loss_width,
         max_num_iterations=options.max_num_iterations,
         linear_solver_iterations=options.linear_solver_iterations,
+        track_parametrization_type=options.track_parametrization_type,
+        intrinsics_to_optimize=options.intrinsics_to_optimize,
     )
 
 

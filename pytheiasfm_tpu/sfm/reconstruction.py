@@ -76,7 +76,7 @@ class CameraIntrinsicsPrior:
         pp = self.principal_point
         if pp is None:
             pp = (self.image_width / 2.0, self.image_height / 2.0)
-        params = intr.make_intrinsics(
+        params = intr.make_intrinsics_np(
             model,
             focal_length=float(focal),
             aspect_ratio=float(self.aspect_ratio or 1.0),

@@ -85,8 +85,10 @@ def generate_scene(options: SyntheticSceneOptions | None = None):
         principal_point=(opt.image_width / 2.0, opt.image_height / 2.0),
     )
     for v in range(V):
-        # Fresh prior per view: view_priors rows must be independently
-        # mutable (per-view position/orientation/gravity priors).
+        # Fresh prior per view so per-view field REASSIGNMENT (position/
+        # orientation/gravity priors) is isolated. dataclasses.replace is a
+        # shallow copy: ndarray fields on a caller-supplied prior would
+        # still alias — only set immutable fields here.
         recon.add_view(
             f"view_{v:04d}", group_id=None, prior=dataclasses.replace(prior)
         )
@@ -126,10 +128,12 @@ def random_reconstruction(
     pixel_noise: float = 0.0,
     **kwargs,
 ) -> Reconstruction:
-    """A fully-estimated random reconstruction at the GT optimum — the
+    """A fully-estimated random reconstruction: GT poses + GT points with
+    all views/tracks marked estimated, ready for BA/covariance tests — the
     direct analogue of the reference's `RandomReconGenerator.generate_random_recon`
-    (`pytests/sfm/random_recon_gen.py:27`): GT poses + triangulated points
-    with all views/tracks marked estimated, ready for BA/covariance tests."""
+    (`pytests/sfm/random_recon_gen.py:27`). At the GT optimum when
+    pixel_noise=0; with pixel_noise>0 the observations are perturbed while
+    poses/points stay at GT, so it is only a near-optimum initialization."""
     opt = SyntheticSceneOptions(
         num_views=num_views,
         num_tracks=num_tracks,

@@ -63,21 +63,29 @@ def run_ba(ext, points, params, obs, options=None, camera_free=None, point_free=
     obs_view, obs_track, obs_uv = obs
     O = len(obs_view)
     V, T = len(ext), len(points)
+    P = len(params)
+    dtype = jnp.asarray(ext).dtype
     options = options or BundleAdjustmentOptions()
-    ext_out, pts_out, summary = bundle_adjust(
+    ext_out, _, pts_out, summary = bundle_adjust(
         jnp.asarray(ext),
+        jnp.asarray(params, dtype)[None, :],  # one shared intrinsics group
         jnp.asarray(points),
-        jnp.asarray(np.tile(params, (O, 1))),
+        jnp.zeros((V,), jnp.int32),
+        jnp.zeros((1,), jnp.int32),
         jnp.asarray(obs_view),
         jnp.asarray(obs_track),
         jnp.asarray(obs_uv),
-        jnp.ones((O, 2), dtype=jnp.asarray(ext).dtype),
+        jnp.ones((O, 2), dtype=dtype),
         jnp.ones((O,), bool),
         jnp.ones((V,), bool) if camera_free is None else jnp.asarray(camera_free),
         jnp.ones((T,), bool) if point_free is None else jnp.asarray(point_free),
-        model=int(M.PINHOLE),
+        jnp.zeros((1, P), bool),
+        jnp.zeros((T,), jnp.int32),
+        jnp.zeros((T, 3), dtype),
+        present_models=(int(M.PINHOLE),),
         num_views=V,
         num_tracks=T,
+        num_groups=1,
         options=options,
     )
     return np.asarray(ext_out), np.asarray(pts_out), summary
