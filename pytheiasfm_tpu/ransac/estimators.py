@@ -36,6 +36,19 @@ __all__ = [
     "estimate_triangulation",
     "estimate_absolute_pose_with_known_orientation",
     "estimate_relative_pose_with_known_orientation",
+    "estimate_calibrated_absolute_pose_typed",
+    "estimate_uncalibrated_absolute_pose",
+    "estimate_radial_dist_uncalibrated_absolute_pose",
+    "estimate_similarity_transformation_2d_3d",
+    "estimate_rigid_transformation_2d_3d",
+    "estimate_dominant_plane_from_points",
+    "estimate_radial_distortion_homography",
+    "UncalibratedAbsolutePose",
+    "RadialDistUncalibratedAbsolutePose",
+    "SimilarityTransformation",
+    "RigidTransformation",
+    "Plane",
+    "RadialHomographyResult",
 ]
 
 
@@ -425,5 +438,336 @@ def estimate_relative_pose_with_known_orientation(
     est = engine.Estimator(sample_size=2, solve=solve, residuals=residuals)
     return engine.ransac(
         key, TwoViewData(rotated_points1, rotated_points2), est, params,
+        mask=mask, **kw,
+    )
+
+
+# ---------------------------------------------------------------------------
+# PnPType-dispatched calibrated absolute pose.
+# ---------------------------------------------------------------------------
+
+
+def estimate_calibrated_absolute_pose_typed(
+    key, feature, world_point, params: engine.RansacParameters,
+    pnp_type: int = 0, mask=None, **kw,
+):
+    """`EstimateCalibratedAbsolutePose` honoring `PnPType {KNEIP, SQPNP, DLS}`
+    (`estimate_calibrated_absolute_pose.cc:66-110`, SampleSize 3 for all).
+    pnp_type follows `sfm.estimator_options.PnPType` values."""
+    from ..ops import pnp
+
+    if pnp_type == 0:  # KNEIP
+        return estimate_calibrated_absolute_pose(
+            key, feature, world_point, params, mask=mask, **kw
+        )
+
+    def solve(subset: Corr2D3D):
+        if pnp_type == 1:  # SQPNP
+            R, pos, ok = pnp.sqpnp(subset.feature, subset.world_point)
+            return CalibratedAbsolutePose(R[None], pos[None]), ok[None]
+        R, pos, ok = pnp.dls_pnp(subset.feature, subset.world_point)  # DLS
+        return CalibratedAbsolutePose(R, pos), ok
+
+    est = engine.Estimator(
+        sample_size=3,
+        solve=solve,
+        residuals=_abs_pose_residuals,
+        refine=_abs_pose_refine,
+    )
+    return engine.ransac(
+        key, Corr2D3D(feature, world_point), est, params, mask=mask, **kw
+    )
+
+
+# ---------------------------------------------------------------------------
+# Uncalibrated absolute pose (P4Pf) and radial-distortion variants.
+# ---------------------------------------------------------------------------
+
+
+class UncalibratedAbsolutePose(NamedTuple):
+    """Parity: `theia::UncalibratedAbsolutePose`
+    (estimate_uncalibrated_absolute_pose.h:48-52)."""
+
+    rotation: jax.Array  # [3, 3]
+    position: jax.Array  # [3]
+    focal_length: jax.Array  # scalar
+
+
+def estimate_uncalibrated_absolute_pose(
+    key, feature, world_point, params: engine.RansacParameters, mask=None, **kw
+):
+    """Parity: `theia::EstimateUncalibratedAbsolutePose`
+    (estimate_uncalibrated_absolute_pose.cc:107): P4Pf minimal solver on
+    principal-point-centred PIXEL features, squared pixel reprojection error
+    through the candidate P = diag(f,f,1)[R|t]."""
+    from ..ops import focal_radial
+
+    def solve(subset: Corr2D3D):
+        P, f, valid = focal_radial.four_point_pose_and_focal_length(
+            subset.feature, subset.world_point
+        )
+        return (P, f), valid
+
+    def residuals(model, data: Corr2D3D):
+        P, _ = model
+        Xh = jnp.concatenate(
+            [data.world_point, jnp.ones_like(data.world_point[..., :1])], -1
+        )
+        proj = jnp.einsum("ij,nj->ni", P, Xh)
+        z = proj[..., 2]
+        behind = z < 1e-12
+        uv = proj[..., :2] / jnp.where(behind, 1.0, z)[..., None]
+        err = jnp.sum((uv - data.feature) ** 2, axis=-1)
+        return jnp.where(behind, _BIG, err)
+
+    est = engine.Estimator(sample_size=4, solve=solve, residuals=residuals)
+    (P, f), summary = engine.ransac(
+        key, Corr2D3D(feature, world_point), est, params, mask=mask, **kw
+    )
+    # Unpack P = diag(f,f,1)[R|t] into the reference's model struct.
+    scale = jnp.stack([1.0 / f, 1.0 / f, jnp.ones_like(f)])
+    Rt = scale[:, None] * P
+    R, t = Rt[:, :3], Rt[:, 3]
+    pos = -R.T @ t
+    return UncalibratedAbsolutePose(R, pos, f), summary
+
+
+class RadialDistUncalibratedAbsolutePose(NamedTuple):
+    """Parity: `theia::RadialDistUncalibratedAbsolutePose`
+    (estimate_radial_dist_uncalibrated_absolute_pose.h:50-55)."""
+
+    rotation: jax.Array  # [3, 3]
+    translation: jax.Array  # [3]
+    focal_length: jax.Array
+    radial_distortion: jax.Array
+
+
+def estimate_radial_dist_uncalibrated_absolute_pose(
+    key, feature, world_point, params: engine.RansacParameters,
+    min_focal_length: float = 200.0, max_focal_length: float = 10000.0,
+    min_radial_distortion: float = -1e-5, max_radial_distortion: float = -1e-9,
+    mask=None, **kw,
+):
+    """Parity: `theia::EstimateRadialDistUncalibratedAbsolutePose`
+    (estimate_radial_dist_uncalibrated_absolute_pose.cc + MetaData bounds):
+    P4Pfr minimal solver; residual = squared pixel error after projecting
+    and applying the division-model distortion (`radial_homography.
+    radial_distort_point`, matching DivisionUndistortionCameraModel)."""
+    from ..ops import focal_radial, radial_homography
+
+    def solve(subset: Corr2D3D):
+        R, t, k1, f, valid = focal_radial.four_point_pose_focal_length_radial_distortion(
+            subset.feature, subset.world_point,
+            min_focal_length=min_focal_length, max_focal_length=max_focal_length,
+            min_distortion=min_radial_distortion * max_focal_length**2,
+            max_distortion=0.0,
+        )
+        return RadialDistUncalibratedAbsolutePose(R, t, f, k1), valid
+
+    def residuals(model: RadialDistUncalibratedAbsolutePose, data: Corr2D3D):
+        p_cam = (
+            jnp.einsum("ij,nj->ni", model.rotation, data.world_point)
+            + model.translation
+        )
+        z = p_cam[..., 2]
+        behind = z < 1e-12
+        distorted = radial_homography.radial_distort_point(
+            p_cam, model.focal_length, model.radial_distortion
+        )
+        err = jnp.sum((distorted - data.feature) ** 2, axis=-1)
+        return jnp.where(behind, _BIG, err)
+
+    est = engine.Estimator(sample_size=4, solve=solve, residuals=residuals)
+    return engine.ransac(
+        key, Corr2D3D(feature, world_point), est, params, mask=mask, **kw
+    )
+
+
+# ---------------------------------------------------------------------------
+# Generalized-camera 2D-3D alignment: similarity + rigid.
+# ---------------------------------------------------------------------------
+
+
+class GeneralizedCorr2D3D(NamedTuple):
+    """Parity: `theia::CameraAndFeatureCorrespondence2D3D` reduced to its
+    ray form (the reference stores a full Camera; the ray origin/direction
+    pair is what both solvers and the error consume)."""
+
+    ray_origin: jax.Array  # [N, 3] camera centers
+    ray_direction: jax.Array  # [N, 3] unit rays in the rig/world frame
+    world_point: jax.Array  # [N, 3]
+
+
+class SimilarityTransformation(NamedTuple):
+    """Parity: `theia::SimilarityTransformation` (sim_transforms.h)."""
+
+    rotation: jax.Array  # [3, 3]
+    translation: jax.Array  # [3]
+    scale: jax.Array  # scalar
+
+
+class RigidTransformation(NamedTuple):
+    """Parity: `theia::RigidTransformation`."""
+
+    rotation: jax.Array  # [3, 3]
+    translation: jax.Array  # [3]
+
+
+def _ray_alignment_residuals(transformed, data: GeneralizedCorr2D3D):
+    """Squared sine of the angle between each observation ray and the
+    direction to the transformed point — the angular form of the reference's
+    squared reprojection error (estimate_similarity_transformation_2d_3d.cc:
+    137-152; multiply the threshold by focal^2 pixels to convert)."""
+    v = transformed - data.ray_origin
+    n2 = jnp.sum(v * v, axis=-1)
+    dot = jnp.sum(v * data.ray_direction, axis=-1)
+    sin2 = 1.0 - (dot * dot) / jnp.where(n2 < 1e-18, 1.0, n2)
+    behind = dot <= 0
+    return jnp.where(behind | (n2 < 1e-18), _BIG, jnp.maximum(sin2, 0.0))
+
+
+def estimate_similarity_transformation_2d_3d(
+    key, ray_origin, ray_direction, world_point,
+    params: engine.RansacParameters, mask=None, **kw,
+):
+    """Parity: `theia::EstimateSimilarityTransformation2D3D`
+    (estimate_similarity_transformation_2d_3d.h): gDLS similarity transform
+    from 4+ ray / 3D-point correspondences of a generalized camera, scored by
+    the angular reprojection residual."""
+    from ..ops import generalized_pose
+
+    def solve(subset: GeneralizedCorr2D3D):
+        R, t, s, cost = generalized_pose.gdls_similarity_transform(
+            subset.ray_origin, subset.ray_direction, subset.world_point
+        )
+        ok = jnp.isfinite(cost)
+        return (
+            SimilarityTransformation(R[None], t[None], s[None]),
+            ok[None],
+        )
+
+    def residuals(model: SimilarityTransformation, data: GeneralizedCorr2D3D):
+        transformed = (
+            model.scale * jnp.einsum("ij,nj->ni", model.rotation, data.world_point)
+            + model.translation
+        )
+        return _ray_alignment_residuals(transformed, data)
+
+    est = engine.Estimator(sample_size=4, solve=solve, residuals=residuals)
+    return engine.ransac(
+        key,
+        GeneralizedCorr2D3D(ray_origin, ray_direction, world_point),
+        est, params, mask=mask, **kw,
+    )
+
+
+def estimate_rigid_transformation_2d_3d(
+    key, ray_origin, ray_direction, world_point,
+    params: engine.RansacParameters, mask=None, **kw,
+):
+    """Parity: `theia::EstimateRigidTransformation2D3D`
+    (estimate_rigid_transformation_2d_3d.cc:58-135): UPnP on the generalized
+    camera's rays (SampleSize 4), angular reprojection residual."""
+    from ..ops import generalized_pose
+
+    def solve(subset: GeneralizedCorr2D3D):
+        R, t, cost = generalized_pose.upnp(
+            subset.ray_origin, subset.ray_direction, subset.world_point
+        )
+        ok = jnp.isfinite(cost)
+        return RigidTransformation(R[None], t[None]), ok[None]
+
+    def residuals(model: RigidTransformation, data: GeneralizedCorr2D3D):
+        transformed = (
+            jnp.einsum("ij,nj->ni", model.rotation, data.world_point)
+            + model.translation
+        )
+        return _ray_alignment_residuals(transformed, data)
+
+    est = engine.Estimator(sample_size=4, solve=solve, residuals=residuals)
+    return engine.ransac(
+        key,
+        GeneralizedCorr2D3D(ray_origin, ray_direction, world_point),
+        est, params, mask=mask, **kw,
+    )
+
+
+# ---------------------------------------------------------------------------
+# Dominant plane.
+# ---------------------------------------------------------------------------
+
+
+class Plane(NamedTuple):
+    """Parity: `theia::Plane` (estimate_dominant_plane_from_points.h:48-51)."""
+
+    point: jax.Array  # [3]
+    unit_normal: jax.Array  # [3]
+
+
+def estimate_dominant_plane_from_points(
+    key, points, params: engine.RansacParameters, mask=None, **kw
+):
+    """Parity: `theia::EstimateDominantPlaneFromPoints`
+    (estimate_dominant_plane_from_points.cc): 3-point plane hypotheses,
+    SQUARED point-to-plane distance residual (the reference scores the
+    absolute distance; square `error_thresh` accordingly)."""
+
+    def solve(subset):
+        p0, p1, p2 = subset[0], subset[1], subset[2]
+        n = jnp.cross(p1 - p0, p2 - p0)
+        norm = jnp.linalg.norm(n)
+        ok = norm > 1e-12
+        n = n / jnp.where(ok, norm, 1.0)
+        return Plane(p0[None], n[None]), ok[None]
+
+    def residuals(model: Plane, data):
+        d = jnp.einsum("nj,j->n", data - model.point, model.unit_normal)
+        return d * d
+
+    est = engine.Estimator(sample_size=3, solve=solve, residuals=residuals)
+    return engine.ransac(key, points, est, params, mask=mask, **kw)
+
+
+# ---------------------------------------------------------------------------
+# Radial-distortion homography.
+# ---------------------------------------------------------------------------
+
+
+class RadialHomographyResult(NamedTuple):
+    """Parity: `theia::RadialHomographyResult`
+    (estimate_radial_distortion_homography.h)."""
+
+    H: jax.Array  # [3, 3]
+    l1: jax.Array  # radial distortion, left
+    l2: jax.Array  # radial distortion, right
+
+
+def estimate_radial_distortion_homography(
+    key, normalized_points1, normalized_points2,
+    params: engine.RansacParameters,
+    min_radial_distortion: float = -5.0, max_radial_distortion: float = 0.0,
+    mask=None, **kw,
+):
+    """Parity: `theia::EstimateRadialHomographyMatrix`
+    (estimate_radial_distortion_homography.cc): 6-point radial-distortion
+    homography on focal-normalized distorted points, symmetric-transfer
+    residual under the lifted model (`CheckRadialSymmetricError`)."""
+    from ..ops import radial_homography
+
+    def solve(subset: TwoViewData):
+        H, l1, l2, valid = radial_homography.six_point_radial_distortion_homography(
+            subset.points1, subset.points2,
+            lmin=min_radial_distortion, lmax=max_radial_distortion,
+        )
+        return RadialHomographyResult(H, l1, l2), valid
+
+    def residuals(model: RadialHomographyResult, data: TwoViewData):
+        return radial_homography.check_radial_symmetric_error(
+            model.H, model.l1, model.l2, data.points1, data.points2
+        )
+
+    est = engine.Estimator(sample_size=6, solve=solve, residuals=residuals)
+    return engine.ransac(
+        key, TwoViewData(normalized_points1, normalized_points2), est, params,
         mask=mask, **kw,
     )

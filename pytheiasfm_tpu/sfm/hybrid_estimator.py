@@ -73,6 +73,7 @@ class HybridReconstructionEstimator:
             ),
             ransac_params=set_ransac_parameters(opt),
             min_num_inliers=opt.min_num_absolute_pose_inliers,
+            pnp_type=int(opt.localization_pnp_type),
         )
         self.localization_options = base_loc
 

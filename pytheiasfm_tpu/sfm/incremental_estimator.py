@@ -77,6 +77,7 @@ class IncrementalReconstructionEstimator:
             ),
             ransac_params=set_ransac_parameters(opt),
             min_num_inliers=opt.min_num_absolute_pose_inliers,
+            pnp_type=int(opt.localization_pnp_type),
         )
 
         self.unlocalized_views = {

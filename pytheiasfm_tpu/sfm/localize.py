@@ -3,8 +3,9 @@
 Re-design of `/root/reference/src/theia/sfm/localize_view_to_reconstruction.{h,cc}`
 (options `localize_view_to_reconstruction.h:55-90`, flow `.cc:137-254`):
 gather the view's observations of estimated tracks, RANSAC a calibrated
-absolute pose (P3P hypotheses — batched on device), gate on inlier count,
-then single-view bundle adjustment with all tracks constant.
+absolute pose (PnPType-selected KNEIP/SQPnP/DLS hypotheses — batched on
+device), gate on inlier count, then single-view bundle adjustment with all
+tracks constant.
 """
 
 from __future__ import annotations
@@ -22,7 +23,7 @@ from ..models import intrinsics as intr
 from ..ransac import engine
 from ..ransac.estimators import (
     estimate_absolute_pose_with_known_orientation,
-    estimate_calibrated_absolute_pose,
+    estimate_calibrated_absolute_pose_typed,
 )
 from ..ops import rotation as rotops
 from .reconstruction_estimator_utils import compute_resolution_scaled_threshold
@@ -45,6 +46,8 @@ class LocalizeViewToReconstructionOptions:
         default_factory=lambda: BundleAdjustmentOptions(max_num_iterations=10)
     )
     min_num_inliers: int = 30
+    # PnPType {0 KNEIP, 1 SQPNP, 2 DLS} (`estimate_calibrated_absolute_pose.h:54`).
+    pnp_type: int = 0
 
 
 def localize_view_to_reconstruction(
@@ -123,8 +126,9 @@ def localize_view_to_reconstruction(
         recon.view_extrinsics[view_id, :3] = np.asarray(model_best)
         recon.view_estimated[view_id] = True
     else:
-        model_best, summary = estimate_calibrated_absolute_pose(
-            key, feats_p, pts_p, params_r, mask=mask, num_data=n
+        model_best, summary = estimate_calibrated_absolute_pose_typed(
+            key, feats_p, pts_p, params_r,
+            pnp_type=int(options.pnp_type), mask=mask, num_data=n,
         )
         if int(summary.num_inliers) < options.min_num_inliers:
             return False, summary

@@ -127,11 +127,22 @@ def build_view_graph(recon, seed=0, min_inliers=30):
         priors1.append(recon.view_priors[va])
         priors2.append(recon.view_priors[vb])
 
-    opts = EstimateTwoViewInfoOptions()
+    # Dense tracks make these pairs ~99% inliers: a few hundred RANSAC
+    # hypotheses suffice, and chunking the pair axis bounds the scored
+    # [pairs, models, N] residual tensor to ~1 GB on-chip.
+    opts = EstimateTwoViewInfoOptions(max_ransac_iterations=256)
     key = jax.random.PRNGKey(seed)
-    results = estimate_two_view_info_batch(
-        key, opts, priors1, priors2, pts1, pts2, masks
-    )
+    chunk = max(1, int(2.5e8 // (2560 * Np)))
+    results = []
+    for lo in range(0, P, chunk):
+        hi = min(lo + chunk, P)
+        key, sub = jax.random.split(key)
+        results.extend(
+            estimate_two_view_info_batch(
+                sub, opts, priors1[lo:hi], priors2[lo:hi],
+                pts1[lo:hi], pts2[lo:hi], masks[lo:hi],
+            )
+        )
     graph = ViewGraph()
     n_edges = 0
     for (va, vb), (info, inliers) in zip(pairs, results):
