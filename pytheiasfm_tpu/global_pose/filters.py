@@ -21,6 +21,7 @@ __all__ = [
     "filter_view_pairs_from_orientation",
     "filter_view_graph_cycles_by_rotation",
     "filter_view_pairs_from_relative_translation",
+    "extract_maximally_parallel_rigid_subgraph",
 ]
 
 
@@ -157,3 +158,112 @@ def filter_view_pairs_from_relative_translation(
     for k in np.flatnonzero(bad):
         view_graph.remove_edge(int(v1[k]), int(v2[k]))
     return int(bad.sum())
+
+
+@jax.jit
+def _parallel_components(null_space):
+    """Membership scan for the maximally parallel rigid component.
+
+    null_space [N, 3, K]: per-view 3-row blocks of the translation-constraint
+    null space. For each candidate fixed view f, subtract its block from all
+    blocks (fixing f at the origin); views whose residual block is ~zero or
+    whose normalized block is parallel (per-dimension) to another candidate's
+    belong to the same rigid component (the parallel-ness test of
+    `extract_maximally_parallel_rigid_subgraph.cc:100-165`). Returns
+    membership [N, N]: member[f] is the component when fixing view f.
+    """
+    kMaxCos = 1e-5
+    kMaxNorm = 1e-8
+    N = null_space.shape[0]
+
+    def one(f):
+        M = null_space - null_space[f]  # [N, 3, K]
+        norms = jnp.linalg.norm(M, axis=-1)  # [N, 3]
+        row_ok = norms > kMaxNorm
+        zero = jnp.all(~row_ok, axis=-1)
+        Mn = M / jnp.maximum(norms, 1e-300)[..., None]
+        dots = jnp.abs(jnp.einsum("idk,jdk->ijd", Mn, Mn))
+        # Per dimension, two blocks are compatible when both rows are
+        # near-zero (no constraint difference) or both carry signal and are
+        # parallel. A zero-vs-signal mismatch means different rigidity — the
+        # reference gets this via Eigen's normalize leaving exact zero rows
+        # zero (dot 0 -> cos distance 1); the explicit norm test here is
+        # robust to 1e-15 noise rows as well.
+        both_ok = row_ok[:, None, :] & row_ok[None, :, :]
+        both_zero = (~row_ok)[:, None, :] & (~row_ok)[None, :, :]
+        dim_parallel = (both_ok & (1.0 - dots < kMaxCos)) | both_zero
+        eligible = (~zero) & (jnp.arange(N) != f)
+        pair = (
+            jnp.all(dim_parallel, axis=-1)
+            & eligible[:, None]
+            & eligible[None, :]
+            & (jnp.arange(N)[:, None] != jnp.arange(N)[None, :])
+        )
+        member = zero | jnp.any(pair, axis=1)
+        return member.at[f].set(True)
+
+    return jax.vmap(one)(jnp.arange(N))
+
+
+def extract_maximally_parallel_rigid_subgraph(orientations: dict, view_graph):
+    """Keep only the views in the maximal parallel-rigid component.
+
+    Parity: `theia::ExtractMaximallyParallelRigidSubgraph`
+    (`extract_maximally_parallel_rigid_subgraph.h:63`, algorithm
+    `extract_maximally_parallel_rigid_subgraph.cc:167-225`): build the
+    constraint matrix t_ij x (c_j - c_i) = 0 over all edges (with t_ij
+    rotated into the world frame), take the null space of its normal matrix,
+    and find the largest set of views whose null-space blocks are parallel
+    after fixing one view — those positions are determined up to a global
+    scale, i.e. the parallel-rigid subgraph. Views outside it are removed
+    from the graph. Returns the number of removed views.
+    """
+    view_ids = [v for v in view_graph.view_ids() if v in orientations]
+    N = len(view_ids)
+    if N < 2 or not view_graph.edges:
+        return 0
+    index = {v: i for i, v in enumerate(view_ids)}
+    v1, v2, _rel_rot, rel_pos, _ = view_graph.edge_arrays()
+    keep_edges = [
+        k for k in range(len(v1)) if v1[k] in index and v2[k] in index
+    ]
+    E = len(keep_edges)
+    if E == 0:
+        return 0
+
+    A = np.zeros((3 * E, 3 * N))
+    for row, k in enumerate(keep_edges):
+        R1 = np.asarray(
+            rotops.angle_axis_to_rotation_matrix(
+                jnp.asarray(orientations[v1[k]])
+            )
+        )
+        t = R1.T @ rel_pos[k]
+        cx = np.array(
+            [[0, -t[2], t[1]], [t[2], 0, -t[0]], [-t[1], t[0], 0]]
+        )
+        i, j = index[v1[k]], index[v2[k]]
+        A[3 * row : 3 * row + 3, 3 * i : 3 * i + 3] = -cx
+        A[3 * row : 3 * row + 3, 3 * j : 3 * j + 3] = cx
+
+    # Null space of A via SVD (the reference LU-kernels A^T A).
+    _, s, vt = np.linalg.svd(A, full_matrices=True)
+    tol = max(A.shape) * np.finfo(float).eps * (s[0] if len(s) else 1.0)
+    rank = int((s > max(tol, 1e-10)).sum())
+    ns = vt[rank:].T  # [3N, K]
+    if ns.shape[1] == 0:
+        return 0
+
+    member = np.asarray(
+        _parallel_components(jnp.asarray(ns.reshape(N, 3, -1)))
+    )
+    best = member[np.argmax(member.sum(axis=1))]
+    removed = 0
+    for i, v in enumerate(view_ids):
+        if not best[i]:
+            if view_graph.has_view(v):
+                # Dropping a view's last edge may implicitly remove its
+                # neighbors too; count every view excluded from the component.
+                view_graph.remove_view(v)
+            removed += 1
+    return removed

@@ -96,10 +96,23 @@ def mfas_ordering(edges, weights, num_nodes):
 
     `edges`: [E, 2] (src, dst) int array; `weights`: [E] nonneg floats.
     Returns `order`: position of each node in the linear ordering.
+
+    Dispatches to the C++ kernel (`native/graphcore.cpp`) when available —
+    this greedy loop runs once per random 1DSfM axis and is the sequential
+    host hot spot, exactly why the reference keeps it in C++. The numpy
+    fallback below scans nodes in the same ascending order, so both paths
+    produce identical orderings.
     """
-    pos_w = np.maximum(np.asarray(weights, np.float64), 0.0)
     src = np.asarray(edges)[:, 0]
     dst = np.asarray(edges)[:, 1]
+
+    from .. import native
+
+    nat = native.mfas_ordering(num_nodes, src, dst, weights)
+    if nat is not None:
+        return nat
+
+    pos_w = np.maximum(np.asarray(weights, np.float64), 0.0)
     win = np.zeros(num_nodes)
     wout = np.zeros(num_nodes)
     np.add.at(wout, src, pos_w)
@@ -109,25 +122,28 @@ def mfas_ordering(edges, weights, num_nodes):
     for e in range(len(src)):
         out_adj.setdefault(int(src[e]), []).append((int(dst[e]), pos_w[e]))
         in_adj.setdefault(int(dst[e]), []).append((int(src[e]), pos_w[e]))
-    remaining = set(range(num_nodes))
+    remaining = np.ones(num_nodes, bool)
     order = np.zeros(num_nodes, np.int64)
     for rank in range(num_nodes):
-        # Prefer sources (no remaining incoming weight).
+        # Prefer sources (no remaining incoming weight); ascending node scan
+        # (ties -> smallest id, matching the native kernel).
         best, best_score = -1, -np.inf
-        for n in remaining:
+        for n in range(num_nodes):
+            if not remaining[n]:
+                continue
             if win[n] <= 1e-12:
                 best = n
                 break
             score = (1.0 + wout[n]) / (1.0 + win[n])
             if score > best_score:
                 best, best_score = n, score
-        remaining.discard(best)
+        remaining[best] = False
         order[best] = rank
         for (m, w) in out_adj.get(best, []):
-            if m in remaining:
+            if remaining[m]:
                 win[m] -= w
         for (m, w) in in_adj.get(best, []):
-            if m in remaining:
+            if remaining[m]:
                 wout[m] -= w
     return order
 

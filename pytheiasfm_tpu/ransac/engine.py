@@ -60,6 +60,19 @@ class RansacParameters:
     lo_iterations: int = 2
     # PROSAC: data assumed sorted by quality when sampler == "prosac".
     sampler: str = "random"  # "random" | "prosac" | "exhaustive"
+    # T(d,d)/SPRT preemptive verification (`sample_consensus_estimator.h:99`,
+    # `math/probability/sequential_probability_ratio.h:51-65`). The
+    # sequential algorithm bails out of verifying a bad hypothesis early; the
+    # batched mapping is two-stage verification: every hypothesis is scored
+    # on a small data subset, the SPRT rejects hypotheses whose subset
+    # likelihood ratio crosses Wald's threshold, and only the best surviving
+    # fraction is verified against the full data — saving (1 - 1/keep) of
+    # the residual FLOPs at large N with identical static shapes.
+    use_Tdd_test: bool = False
+    sprt_sigma: float = 0.05  # P(inlier | bad model)
+    sprt_epsilon: float = 0.1  # P(inlier | good model) lower bound
+    sprt_subset_size: int = 64
+    sprt_keep_fraction: float = 0.25
 
 
 @jax.tree_util.register_dataclass
@@ -193,6 +206,51 @@ def ransac(
 
     flat_models = jax.tree_util.tree_map(_flatten, models)
     flat_valid = _flatten(valid)
+
+    if params.use_Tdd_test:
+        # Stage 1: SPRT preemption on a random data subset.
+        from ..math.sprt import (
+            calculate_sprt_decision_threshold,
+            sequential_probability_ratio_test,
+        )
+
+        BK = jax.tree_util.tree_leaves(flat_valid)[0].shape[0]
+        n1 = min(N, max(params.sprt_subset_size, 4 * estimator.sample_size))
+        key, k_sub = jax.random.split(key)
+        g_sub = jax.random.gumbel(k_sub, (N,))
+        if mask is not None:
+            g_sub = jnp.where(mask, g_sub, -jnp.inf)
+        _, sub_idx = jax.lax.top_k(g_sub, n1)
+        sub_data = jax.tree_util.tree_map(lambda a: a[sub_idx], data)
+        sub_mask = mask[sub_idx] if mask is not None else None
+
+        sub_res = jax.vmap(lambda m: estimator.residuals(m, sub_data))(
+            flat_models
+        )  # [BK, n1]
+        if sub_mask is not None:
+            sub_res = jnp.where(sub_mask, sub_res, jnp.inf)
+        A = calculate_sprt_decision_threshold(
+            params.sprt_sigma, params.sprt_epsilon
+        )
+        passed, _obs = sequential_probability_ratio_test(
+            sub_res < thresh, params.sprt_sigma, params.sprt_epsilon, A
+        )
+        if quality == "lmed":
+            sub_cost = _lmed_cost(sub_res, sub_mask)
+        else:
+            # Rank stage 1 by the truncated-quadratic (MSAC) cost even for
+            # inlier-count quality: on a small subset the inlier count
+            # saturates and ties would evict the sharpest hypotheses.
+            sub_cost = _mle_cost(sub_res, thresh)
+        sub_cost = jnp.where(flat_valid & passed, sub_cost, jnp.inf)
+        # Stage 2: full verification of the best surviving fraction only.
+        M = max(1, int(BK * params.sprt_keep_fraction))
+        _, keep_idx = jax.lax.top_k(-sub_cost, M)
+        flat_models = jax.tree_util.tree_map(
+            lambda a: a[keep_idx], flat_models
+        )
+        flat_valid = flat_valid[keep_idx] & jnp.isfinite(sub_cost[keep_idx])
+
     flat_res = jax.vmap(residuals_one)(flat_models)  # [BK, N]
     if mask is not None:
         flat_res = jnp.where(mask, flat_res, jnp.inf)

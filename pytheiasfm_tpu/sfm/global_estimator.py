@@ -13,6 +13,8 @@ import time
 
 import numpy as np
 
+from ..utils.log import logger
+
 from ..ba.entry import (
     bundle_adjust_partial_reconstruction,
     bundle_adjust_reconstruction,
@@ -72,7 +74,13 @@ class GlobalReconstructionEstimator:
         #    (.cc:304-325).
         if not self._filter_initial_view_graph(view_graph, recon):
             summary.message = "insufficient view pairs"
+            logger.warning("global SfM aborted: insufficient view pairs")
             return summary
+        logger.info(
+            "initial view graph: %d views, %d edges",
+            view_graph.num_views(),
+            view_graph.num_edges(),
+        )
 
         # 2. Calibrate any uncalibrated cameras (.cc:166).
         t0 = time.perf_counter()
@@ -84,6 +92,11 @@ class GlobalReconstructionEstimator:
         orientations = rot_est.estimate_rotations(
             view_graph, int(opt.global_rotation_estimator_type)
         )
+        logger.info(
+            "rotation estimation: %d orientations in %.3fs",
+            len(orientations),
+            time.perf_counter() - t0,
+        )
 
         # 4. Filter relative rotations that disagree (.cc:375-381).
         filters.filter_view_pairs_from_orientation(
@@ -91,9 +104,24 @@ class GlobalReconstructionEstimator:
             orientations,
             opt.rotation_filtering_max_difference_degrees,
         )
+        if opt.extract_maximal_rigid_subgraph:
+            # Parity: FilterRotations' rigid-subgraph step
+            # (global_reconstruction_estimator.cc; extract_maximally_
+            # parallel_rigid_subgraph.h:63).
+            filters.extract_maximally_parallel_rigid_subgraph(
+                orientations, view_graph
+            )
+            for v in list(orientations):
+                if not view_graph.has_view(v):
+                    orientations.pop(v)
         removed = view_graph.remove_disconnected_view_pairs()
         for v in removed:
             orientations.pop(v, None)
+        logger.info(
+            "rotation filtering: %d edges remain (%d views removed)",
+            view_graph.num_edges(),
+            len(removed),
+        )
 
         # 5. Refine relative translations with known rotations (.cc:195-202).
         if opt.refine_relative_translations_after_rotation_estimation:
@@ -121,6 +149,11 @@ class GlobalReconstructionEstimator:
             int(opt.global_position_estimator_type),
         )
         summary.pose_estimation_time = time.perf_counter() - t0
+        logger.info(
+            "position estimation: %d positions (R+t phase %.3fs)",
+            len(positions),
+            summary.pose_estimation_time,
+        )
 
         set_reconstruction_from_estimated_poses(orientations, positions, recon)
 
@@ -128,6 +161,11 @@ class GlobalReconstructionEstimator:
         t0 = time.perf_counter()
         self._estimate_structure(recon)
         summary.triangulation_time = time.perf_counter() - t0
+        logger.info(
+            "triangulation: %d estimated tracks in %.3fs",
+            num_estimated_tracks(recon),
+            summary.triangulation_time,
+        )
 
         set_underconstrained_tracks_to_unestimated(recon)
         set_underconstrained_views_to_unestimated(recon)
@@ -136,6 +174,9 @@ class GlobalReconstructionEstimator:
         t0 = time.perf_counter()
         self._bundle_adjustment_loop(recon)
         summary.bundle_adjustment_time = time.perf_counter() - t0
+        logger.info(
+            "bundle adjustment: %.3fs", summary.bundle_adjustment_time
+        )
 
         summary.estimated_views = {
             v for v in range(recon.num_views()) if recon.view_estimated[v]
@@ -147,6 +188,12 @@ class GlobalReconstructionEstimator:
             num_estimated_views(recon) >= 2 and num_estimated_tracks(recon) > 0
         )
         summary.total_time = time.perf_counter() - t_start
+        logger.info(
+            "global SfM: %d views, %d tracks in %.3fs",
+            num_estimated_views(recon),
+            num_estimated_tracks(recon),
+            summary.total_time,
+        )
         summary.message = (
             f"estimated {num_estimated_views(recon)} views, "
             f"{num_estimated_tracks(recon)} tracks"

@@ -14,6 +14,8 @@ from __future__ import annotations
 import dataclasses
 import time
 
+from ..utils.log import logger
+
 import numpy as np
 
 from ..ba.entry import bundle_adjust_partial_reconstruction
@@ -116,6 +118,11 @@ class IncrementalReconstructionEstimator:
             self.summary.pose_estimation_time += time.perf_counter() - t0
             if not views_to_localize:
                 break
+            logger.info(
+                "localizing %d candidate views (%d unlocalized)",
+                len(views_to_localize),
+                len(self.unlocalized_views),
+            )
             for v in views_to_localize:
                 t0 = time.perf_counter()
                 ok, _ = localize_view_to_reconstruction(

@@ -57,10 +57,15 @@ class TrackBuilder:
         n = len(self._node_feature)
         if n == 0:
             return 0
-        uf = UnionFind(n)
-        for a, b in self._edges:
-            uf.union(a, b)
-        roots = np.fromiter((uf.find(i) for i in range(n)), np.int64, n)
+        edges = np.asarray(self._edges, np.int64).reshape(-1, 2)
+        from .. import native
+
+        roots = native.uf_components(n, edges[:, 0], edges[:, 1])
+        if roots is None:
+            uf = UnionFind(n)
+            for a, b in self._edges:
+                uf.union(a, b)
+            roots = np.fromiter((uf.find(i) for i in range(n)), np.int64, n)
 
         # Group nodes by component.
         order = np.argsort(roots, kind="stable")

@@ -179,3 +179,57 @@ def test_lmed_quality(rng):
     )
     R_est = np.asarray(model.rotation)
     assert np.abs(R_est - R).max() < 1e-3
+
+
+def test_sprt_tdd_preemption(rng):
+    """T(d,d)/SPRT two-stage verification recovers the same model while
+    verifying only `sprt_keep_fraction` of hypotheses on the full data
+    (parity: RansacParameters.use_Tdd_test + sequential_probability_ratio.h)."""
+    import dataclasses
+
+    p1, p2, R, t, E, n_in = make_two_view_scene(rng, n_inliers=120, n_outliers=80)
+    params = RansacParameters(
+        error_thresh=1e-6,
+        max_iterations=256,
+        use_Tdd_test=True,
+        sprt_subset_size=48,
+        sprt_keep_fraction=0.2,
+    )
+    key = jax.random.PRNGKey(1)
+    model, summary = jax.jit(
+        lambda k, a, b: estimators.estimate_relative_pose(k, a, b, params)
+    )(key, jnp.asarray(p1), jnp.asarray(p2))
+    assert int(summary.num_inliers) >= n_in * 0.9
+    assert np.abs(np.asarray(model.rotation) - R).max() < 5e-3
+    inl = np.asarray(summary.inliers)
+    assert inl[:n_in].mean() > 0.9
+    # Preemption must not change the winning model here: the SPRT-surviving
+    # top fraction contains the hypothesis the full sweep would have picked.
+    base_model, base_summary = estimators.estimate_relative_pose(
+        key,
+        jnp.asarray(p1),
+        jnp.asarray(p2),
+        dataclasses.replace(params, use_Tdd_test=False),
+    )
+    np.testing.assert_allclose(
+        np.asarray(model.rotation), np.asarray(base_model.rotation), atol=1e-12
+    )
+    assert int(summary.num_inliers) == int(base_summary.num_inliers)
+
+
+def test_sprt_decision_threshold_monotonic():
+    from pytheiasfm_tpu.math.sprt import (
+        calculate_sprt_decision_threshold,
+        sequential_probability_ratio_test,
+    )
+
+    a_cheap = float(calculate_sprt_decision_threshold(0.05, 0.1, 100.0))
+    a_costly = float(calculate_sprt_decision_threshold(0.05, 0.1, 1000.0))
+    assert a_costly > a_cheap > 1.0
+    # A clearly good inlier sequence passes; a clearly bad one fails.
+    good = jnp.ones((64,), bool)
+    bad = jnp.zeros((64,), bool)
+    A = calculate_sprt_decision_threshold(0.05, 0.3)
+    ok, _ = sequential_probability_ratio_test(good, 0.05, 0.3, A)
+    fail, _ = sequential_probability_ratio_test(bad, 0.05, 0.3, A)
+    assert bool(ok) and not bool(fail)
