@@ -64,3 +64,62 @@ def test_fountain_global_sfm_ate(fountain_data):
     # (full-track runs land at ~2.3 mm median, reference CPU at 2.0 mm).
     assert float(np.median(err_mm)) < 6.0, err_mm
     assert float(np.max(err_mm)) < 15.0, err_mm
+
+
+def test_fountain_incremental_sfm_ate(fountain_data):
+    """Incremental SfM (init pair -> localize loop -> partial/full BA) on the
+    same real tracks; mirrors the reference's incremental pipeline run in
+    `pytests/sfm_pipeline.py:175-287`."""
+    import copy
+
+    import sfm_eval_fountain as ev
+
+    from pytheiasfm_tpu.sfm.estimator_options import (
+        ReconstructionEstimatorOptions,
+        ReconstructionEstimatorType,
+    )
+    from pytheiasfm_tpu.sfm.incremental_estimator import (
+        IncrementalReconstructionEstimator,
+    )
+
+    recon, gt, graph = fountain_data
+    recon = copy.deepcopy(recon)
+    graph = copy.deepcopy(graph)
+    options = ReconstructionEstimatorOptions(
+        reconstruction_estimator_type=ReconstructionEstimatorType.INCREMENTAL
+    )
+    summary = IncrementalReconstructionEstimator(options).estimate(graph, recon)
+    assert summary.success
+    err_mm, n_est = ev.sim3_ate_mm(recon, gt)
+    assert n_est == 11, f"only {n_est}/11 cameras estimated"
+    # Incremental on the 700-track subsample: same millimeter regime, with a
+    # little more slack than global (drift before the final full BA).
+    assert float(np.median(err_mm)) < 8.0, err_mm
+    assert float(np.max(err_mm)) < 25.0, err_mm
+
+
+def test_fountain_hybrid_sfm_ate(fountain_data):
+    """Hybrid SfM (global rotations + incremental positions, HSfM) on the
+    real tracks."""
+    import copy
+
+    import sfm_eval_fountain as ev
+
+    from pytheiasfm_tpu.sfm.estimator_options import (
+        ReconstructionEstimatorOptions,
+        ReconstructionEstimatorType,
+    )
+    from pytheiasfm_tpu.sfm.hybrid_estimator import HybridReconstructionEstimator
+
+    recon, gt, graph = fountain_data
+    recon = copy.deepcopy(recon)
+    graph = copy.deepcopy(graph)
+    options = ReconstructionEstimatorOptions(
+        reconstruction_estimator_type=ReconstructionEstimatorType.HYBRID
+    )
+    summary = HybridReconstructionEstimator(options).estimate(graph, recon)
+    assert summary.success
+    err_mm, n_est = ev.sim3_ate_mm(recon, gt)
+    assert n_est == 11, f"only {n_est}/11 cameras estimated"
+    assert float(np.median(err_mm)) < 8.0, err_mm
+    assert float(np.max(err_mm)) < 25.0, err_mm
