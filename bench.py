@@ -35,15 +35,17 @@ def build_problem(V=553, T=50_000, obs_per_track=6, seed=0, dtype=np.float32):
     positions = np.stack(
         [10 * np.cos(angles), 10 * np.sin(angles), rng.normal(size=V)], -1
     )
-    ext = np.zeros((V, 6))
-    for v in range(V):
-        z = -positions[v] / np.linalg.norm(positions[v])
-        x = np.cross([0.0, 0.0, 1.0], z)
-        x /= np.linalg.norm(x)
-        y = np.cross(z, x)
-        R = np.stack([x, y, z])
-        aa = np.asarray(rot.rotation_matrix_to_angle_axis(jnp.asarray(R)))
-        ext[v] = np.concatenate([positions[v], aa])
+    # Build all V look-at rotations on host, convert to angle-axis in ONE
+    # vmapped device call (per-view dispatches are tunnel round-trips).
+    z = -positions / np.linalg.norm(positions, axis=1, keepdims=True)
+    x = np.cross(np.broadcast_to([0.0, 0.0, 1.0], z.shape), z)
+    x /= np.linalg.norm(x, axis=1, keepdims=True)
+    y = np.cross(z, x)
+    R = np.stack([x, y, z], axis=1)  # [V, 3, 3]
+    import jax
+
+    aa = np.asarray(jax.vmap(rot.rotation_matrix_to_angle_axis)(jnp.asarray(R)))
+    ext = np.concatenate([positions, aa], axis=1)
     points = rng.uniform(-3, 3, size=(T, 3))
     params = np.asarray(
         intr.make_intrinsics(M.PINHOLE, focal_length=1000.0, principal_point=(1536, 1024))
