@@ -98,37 +98,50 @@ def build_problem(V=553, T=50_000, obs_per_track=6, seed=0, dtype=np.float32):
     )
 
 
-def bench_ba():
+def bench_ba(obs_per_track=6):
+    """Dense-Schur MXU BA at Notre-Dame scale (the DENSE_SCHUR path —
+    V=553 is far below the ITERATIVE_SCHUR crossover, matching the
+    reference's own solver choice at this size)."""
     import jax
+    import jax.numpy as jnp
 
-    from pytheiasfm_tpu.ba import BundleAdjustmentOptions, bundle_adjust
+    from pytheiasfm_tpu.ba import BundleAdjustmentOptions, bundle_adjust_dense
     from pytheiasfm_tpu.models.intrinsics import CameraIntrinsicsModelType as M
 
-    prob = build_problem()
+    prob = build_problem(obs_per_track=obs_per_track)
+    T, L = prob["T"], obs_per_track
     iters = 30
     options = BundleAdjustmentOptions(
         max_num_iterations=iters,
         function_tolerance=0.0,  # run the full fixed schedule
-        linear_solver_iterations=30,
-        linear_solver_tolerance=0.0,  # fixed PCG trips for a like-for-like timing
     )
 
-    arg_names = (
-        "extrinsics", "intrinsics", "points", "view_group", "group_model_idx",
-        "obs_view", "obs_track", "obs_uv", "obs_sqrt_info", "obs_mask",
-        "camera_free", "point_free", "intrinsics_free", "track_ref_view",
-        "track_bearing",
+    # The synthetic problem is exactly `obs_per_track` observations per
+    # track: the [T, L] slot layout is a reshape.
+    args = (
+        prob["extrinsics"],
+        prob["intrinsics"],
+        prob["points"],
+        prob["view_group"],
+        prob["group_model_idx"],
+        prob["obs_view"].reshape(T, L),
+        prob["obs_uv"].reshape(T, L, 2),
+        prob["obs_sqrt_info"].reshape(T, L, 2),
+        prob["obs_mask"].reshape(T, L),
+        prob["camera_free"],
+        prob["point_free"],
+    )
+    kw = dict(
+        present_models=(int(M.PINHOLE),),
+        num_views=prob["V"],
+        num_tracks=T,
+        max_track_len=L,
+        num_groups=1,
+        options=options,
     )
 
     def run():
-        ext, q, pts, summary = bundle_adjust(
-            *(prob[k] for k in arg_names),
-            present_models=(int(M.PINHOLE),),
-            num_views=prob["V"],
-            num_tracks=prob["T"],
-            num_groups=1,
-            options=options,
-        )
+        ext, q, pts, summary = bundle_adjust_dense(*args, **kw)
         return ext, pts, summary
 
     # Warm-up (compile).
@@ -145,14 +158,7 @@ def bench_ba():
     # for the stated utilization numbers.
     cost = {}
     try:
-        lowered = bundle_adjust.lower(
-            *(prob[k] for k in arg_names),
-            present_models=(int(M.PINHOLE),),
-            num_views=prob["V"],
-            num_tracks=prob["T"],
-            num_groups=1,
-            options=options,
-        )
+        lowered = bundle_adjust_dense.lower(*args, **kw)
         ca = lowered.compile().cost_analysis()
         if isinstance(ca, (list, tuple)):
             ca = ca[0]
@@ -225,9 +231,32 @@ def bench_matching(n_desc=4096, dim=128, pairs=8, reps=5):
     )
 
 
+def bench_fountain():
+    """End-to-end fountain-11 (tracks -> verification -> global SfM -> ATE)
+    on the TPU, run twice in-process: run 1 pays one-time jit compiles
+    (persisted across processes via .jax_cache), run 2 is the device-speed
+    number. Reference total: 1.76 s on a 2016 CPU (performance.md:20)."""
+    import os
+
+    from pytheiasfm_tpu.pipelines import fountain
+
+    if not os.path.exists(fountain.DEFAULT_FOUNTAIN):
+        return None
+    first = fountain.evaluate(estimator_type="global")
+    second = fountain.evaluate(estimator_type="global")
+    return dict(first=first, second=second)
+
+
 def main():
+    from pytheiasfm_tpu.utils.cache import enable_persistent_cache
+
+    enable_persistent_cache()
     elapsed, iters, summary, cost = bench_ba()
     match = bench_matching()
+    try:
+        fount = bench_fountain()
+    except Exception:
+        fount = None
 
     baseline_s = 196.22  # Notre Dame BA, Ceres CPU (BASELINE.md)
     result = {
@@ -251,13 +280,27 @@ def main():
         result["matcher_pallas_pairs_per_s"] = round(
             match["pallas_pairs_per_s"], 2
         )
+    if fount is not None:
+        # vs the reference's 1.76 s total (performance.md:20); post-compile
+        # run is the headline, first run shows the one-time compile cost.
+        result["fountain_t_total_s"] = round(fount["second"]["t_total_s"], 2)
+        result["fountain_t_total_first_run_s"] = round(
+            fount["first"]["t_total_s"], 2
+        )
+        result["fountain_t_verify_s"] = round(fount["second"]["t_verify_s"], 2)
+        result["fountain_t_sfm_s"] = round(fount["second"]["t_sfm_s"], 2)
+        result["fountain_median_ate_mm"] = round(
+            fount["second"]["median_mm"], 3
+        )
+        result["fountain_cameras"] = f"{fount['second']['cameras']}/11"
     if cost:
-        # Utilization statement vs TPU v5e peaks (197 TFLOP/s bf16 MXU,
-        # ~819 GB/s HBM): the BA program is f32 gather/segment-sum heavy,
-        # so the limiting resource is HBM bandwidth, reported here from the
-        # compiler's own cost model.
-        tflops = cost["flops"] / elapsed / 1e12
-        gbps = cost["bytes"] / elapsed / 1e9
+        # Utilization vs TPU v5e peaks (197 TFLOP/s bf16 MXU, ~819 GB/s
+        # HBM) from the compiler's cost model. XLA counts the LM
+        # while-loop BODY once (trip count is dynamic), so per-iteration
+        # figures use elapsed/iters.
+        per_iter = elapsed / iters
+        tflops = cost["flops"] / per_iter / 1e12
+        gbps = cost["bytes"] / per_iter / 1e9
         result["ba_achieved_tflops"] = round(tflops, 3)
         result["ba_achieved_hbm_gbps"] = round(gbps, 1)
         flop_frac = tflops / 197.0

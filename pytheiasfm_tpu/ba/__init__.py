@@ -1,5 +1,12 @@
-"""Bundle adjustment: LM with implicit Schur complement + PCG."""
+"""Bundle adjustment: dense-Schur MXU solver (small/medium problems) +
+LM with implicit Schur complement + PCG (large problems)."""
 
-from . import lm, losses  # noqa: F401
-from .lm import BundleAdjustmentOptions, BundleAdjustmentSummary, bundle_adjust  # noqa: F401
+from . import dense_schur, lm, losses  # noqa: F401
+from .dense_schur import DENSE_SCHUR_MAX_CAMERAS, bundle_adjust_dense  # noqa: F401
+from .lm import (  # noqa: F401
+    BundleAdjustmentOptions,
+    BundleAdjustmentSummary,
+    LinearSolverType,
+    bundle_adjust,
+)
 from .losses import LossFunctionType  # noqa: F401

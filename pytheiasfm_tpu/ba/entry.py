@@ -16,9 +16,11 @@ from __future__ import annotations
 
 import numpy as np
 
+from .dense_schur import DENSE_SCHUR_MAX_CAMERAS, bundle_adjust_dense
 from .lm import (
     BundleAdjustmentOptions,
     BundleAdjustmentSummary,
+    LinearSolverType,
     TrackParametrizationType,
     bundle_adjust,
 )
@@ -93,6 +95,34 @@ def _gather_problem(recon, view_sel, track_sel, dtype):
         model=model,
         present_models=present,
     )
+
+
+def _slot_layout(prob, num_tracks: int, dtype):
+    """Regroup the flat masked observation table into the padded [T, L]
+    track-slot layout consumed by `bundle_adjust_dense`. L is bucketed to
+    the next power of two (floor 4) so repeated calls share jit caches."""
+    m = prob["obs_mask"]
+    rows = np.where(m)[0]
+    if len(rows) == 0:
+        return None
+    ot = prob["obs_track"][rows]
+    order = np.argsort(ot, kind="stable")
+    rows = rows[order]
+    ot = ot[order]
+    counts = np.bincount(ot, minlength=num_tracks)
+    L = _pad_pow2(max(int(counts.max()), 1), 4)
+    starts = np.zeros(num_tracks + 1, np.int64)
+    np.cumsum(counts, out=starts[1:])
+    pos = np.arange(len(rows)) - starts[ot]
+    track_views = np.zeros((num_tracks, L), np.int32)
+    uv = np.zeros((num_tracks, L, 2), dtype)
+    info = np.ones((num_tracks, L, 2), dtype)
+    mask = np.zeros((num_tracks, L), bool)
+    track_views[ot, pos] = prob["obs_view"][rows]
+    uv[ot, pos] = prob["obs_uv"][rows]
+    info[ot, pos] = prob["obs_sqrt_info"][rows]
+    mask[ot, pos] = True
+    return dict(track_views=track_views, uv=uv, info=info, mask=mask, L=L)
 
 
 def _rodrigues_np(aa, pts):
@@ -273,29 +303,72 @@ def _run(
             jnp.asarray(a) for a in (pp, psi, pm, op, osi, om, gp, gsi, gm)
         )
 
-    ext, intr_out, pts, summary = bundle_adjust(
-        jnp.asarray(ext_in),
-        jnp.asarray(intr_in),
-        jnp.asarray(pts_in),
-        jnp.asarray(view_group),
-        jnp.asarray(group_model_idx),
-        jnp.asarray(prob["obs_view"]),
-        jnp.asarray(prob["obs_track"]),
-        jnp.asarray(prob["obs_uv"]),
-        jnp.asarray(prob["obs_sqrt_info"]),
-        jnp.asarray(prob["obs_mask"]),
-        jnp.asarray(cam_free_p),
-        jnp.asarray(pt_free_p),
-        jnp.asarray(intr_free),
-        jnp.asarray(track_ref),
-        jnp.asarray(track_bearing),
-        present_models=present,
-        num_views=Vp,
-        num_tracks=Tp,
-        num_groups=Gp,
-        options=options,
-        priors=priors,
+    # Solver dispatch (reference parity: Ceres SPARSE_SCHUR below
+    # min_cameras_for_iterative_solver=1000, ITERATIVE_SCHUR above —
+    # `reconstruction_estimator_options.h:291-300`). The dense MXU kernel
+    # handles the small/medium case; free intrinsics, INVERSE_DEPTH, and
+    # very long tracks stay on the implicit-PCG kernel.
+    slot = None
+    want_dense = options.linear_solver_type in (
+        LinearSolverType.AUTO,
+        LinearSolverType.DENSE_SCHUR,
     )
+    if options.linear_solver_type == LinearSolverType.AUTO:
+        want_dense = want_dense and Vp <= DENSE_SCHUR_MAX_CAMERAS
+    if (
+        want_dense
+        and not flags
+        and tp != TrackParametrizationType.INVERSE_DEPTH
+    ):
+        slot = _slot_layout(prob, Tp, dtype)
+        if slot is not None and slot["L"] > 32:
+            slot = None  # padding would explode; implicit path scales better
+
+    if slot is not None:
+        ext, intr_out, pts, summary = bundle_adjust_dense(
+            jnp.asarray(ext_in),
+            jnp.asarray(intr_in),
+            jnp.asarray(pts_in),
+            jnp.asarray(view_group),
+            jnp.asarray(group_model_idx),
+            jnp.asarray(slot["track_views"]),
+            jnp.asarray(slot["uv"]),
+            jnp.asarray(slot["info"]),
+            jnp.asarray(slot["mask"]),
+            jnp.asarray(cam_free_p),
+            jnp.asarray(pt_free_p),
+            present_models=present,
+            num_views=Vp,
+            num_tracks=Tp,
+            max_track_len=slot["L"],
+            num_groups=Gp,
+            options=options,
+            priors=priors,
+        )
+    else:
+        ext, intr_out, pts, summary = bundle_adjust(
+            jnp.asarray(ext_in),
+            jnp.asarray(intr_in),
+            jnp.asarray(pts_in),
+            jnp.asarray(view_group),
+            jnp.asarray(group_model_idx),
+            jnp.asarray(prob["obs_view"]),
+            jnp.asarray(prob["obs_track"]),
+            jnp.asarray(prob["obs_uv"]),
+            jnp.asarray(prob["obs_sqrt_info"]),
+            jnp.asarray(prob["obs_mask"]),
+            jnp.asarray(cam_free_p),
+            jnp.asarray(pt_free_p),
+            jnp.asarray(intr_free),
+            jnp.asarray(track_ref),
+            jnp.asarray(track_bearing),
+            present_models=present,
+            num_views=Vp,
+            num_tracks=Tp,
+            num_groups=Gp,
+            options=options,
+            priors=priors,
+        )
     ext = np.asarray(ext, recon.dtype)[:V]
     pts = np.asarray(pts, recon.dtype)[:T]
     recon.view_extrinsics[camera_free] = ext[camera_free]

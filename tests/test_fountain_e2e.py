@@ -30,7 +30,7 @@ pytestmark = pytest.mark.skipif(
 def fountain_data():
     from pytheiasfm_tpu.io.theia_recon import read_theia_reconstruction
 
-    import sfm_eval_fountain as ev
+    from pytheiasfm_tpu.pipelines import fountain as ev
 
     recon = read_theia_reconstruction(FOUNTAIN)
     gt = read_theia_reconstruction(GT_FOUNTAIN)
@@ -42,7 +42,7 @@ def fountain_data():
 def test_fountain_global_sfm_ate(fountain_data):
     import copy
 
-    import sfm_eval_fountain as ev
+    from pytheiasfm_tpu.pipelines import fountain as ev
 
     from pytheiasfm_tpu.sfm.estimator_options import (
         ReconstructionEstimatorOptions,
@@ -72,7 +72,7 @@ def test_fountain_incremental_sfm_ate(fountain_data):
     `pytests/sfm_pipeline.py:175-287`."""
     import copy
 
-    import sfm_eval_fountain as ev
+    from pytheiasfm_tpu.pipelines import fountain as ev
 
     from pytheiasfm_tpu.sfm.estimator_options import (
         ReconstructionEstimatorOptions,
@@ -103,7 +103,7 @@ def test_fountain_hybrid_sfm_ate(fountain_data):
     real tracks."""
     import copy
 
-    import sfm_eval_fountain as ev
+    from pytheiasfm_tpu.pipelines import fountain as ev
 
     from pytheiasfm_tpu.sfm.estimator_options import (
         ReconstructionEstimatorOptions,
