@@ -208,11 +208,23 @@ def bench_matching(n_desc=4096, dim=128, pairs=8, reps=5):
     dt_xla = timed(lambda: match_descriptors_batch(d1, d2, m, m, ratio))
     on_tpu = jax.default_backend() not in ("cpu",)
     dt_pallas = None
+    parity = None
     if on_tpu:
         try:
             dt_pallas = timed(
                 lambda: match_descriptors_batch_pallas(d1, d2, m, m, ratio)
             )
+            # On-hardware numerical parity: the Mosaic-compiled kernel must
+            # produce the XLA matcher's matches (modulo exact-tie argmin
+            # order, which random descriptors essentially never hit).
+            ix, dx = match_descriptors_batch(d1, d2, m, m, ratio)
+            ip, dp = match_descriptors_batch_pallas(d1, d2, m, m, ratio)
+            ix, ip = np.asarray(ix), np.asarray(ip)
+            agree = float(np.mean(ix == ip))
+            dd = float(
+                np.max(np.abs(np.asarray(dx) - np.asarray(dp)))
+            )
+            parity = dict(match_agreement=agree, max_dist_delta=dd)
         except Exception:
             dt_pallas = None
     dt = min(d for d in (dt_xla, dt_pallas) if d is not None)
@@ -228,6 +240,7 @@ def bench_matching(n_desc=4096, dim=128, pairs=8, reps=5):
         pairs=pairs,
         xla_pairs_per_s=pairs / dt_xla,
         pallas_pairs_per_s=(pairs / dt_pallas) if dt_pallas else None,
+        parity=parity,
     )
 
 
@@ -279,6 +292,13 @@ def main():
     if match["pallas_pairs_per_s"]:
         result["matcher_pallas_pairs_per_s"] = round(
             match["pallas_pairs_per_s"], 2
+        )
+    if match.get("parity"):
+        result["matcher_pallas_match_agreement"] = round(
+            match["parity"]["match_agreement"], 5
+        )
+        result["matcher_pallas_max_dist_delta"] = round(
+            match["parity"]["max_dist_delta"], 5
         )
     if fount is not None:
         # vs the reference's 1.76 s total (performance.md:20); post-compile

@@ -17,8 +17,9 @@ import numpy as np
 from ..sfm.reconstruction import CameraIntrinsicsPrior
 from ..sfm.reconstruction_builder import ImagePairMatch
 from ..sfm.two_view import estimate_two_view_info, estimate_two_view_info_batch
-from .brute_force import match_descriptors_batch
+from .brute_force import match_descriptors_batch_auto
 from .database import InMemoryFeaturesAndMatchesDatabase
+from ..utils.log import logger
 from .options import FeatureMatcherOptions
 from .types import KeypointsAndDescriptors
 
@@ -127,7 +128,7 @@ class FeatureMatcher:
             d1[i], kp1[i], m1[i] = cache[a]
             d2[i], kp2[i], m2[i] = cache[b]
 
-        match_idx, _dist = match_descriptors_batch(
+        match_idx, _dist = match_descriptors_batch_auto(
             jnp.asarray(d1),
             jnp.asarray(d2),
             jnp.asarray(m1),
@@ -137,6 +138,10 @@ class FeatureMatcher:
             keep_only_symmetric=opt.keep_only_symmetric_matches,
         )
         match_idx = np.asarray(match_idx)
+        logger.info(
+            "matcher: %d pairs descriptor-matched (N=%d, D=%d)",
+            len(pairs), N, D,
+        )
 
         # Gather per-pair correspondences on host. Each candidate keeps the
         # pair row plus per-image feature indices so the guided-rematch stage
@@ -158,6 +163,10 @@ class FeatureMatcher:
                     c2=kp2[i][cols],
                 )
             )
+        logger.info(
+            "matcher: %d/%d pairs passed min_num_feature_matches=%d",
+            len(candidates), len(pairs), opt.min_num_feature_matches,
+        )
         if not candidates:
             return []
 

@@ -6,7 +6,10 @@ HBM-bandwidth-bound: 64 MB of distances written and re-read per direction
 against only ~4 GFLOP of matmul. This kernel fuses the distance matmul with
 BOTH direction top-2 reductions inside VMEM — flash-attention-style
 streaming — so HBM traffic drops to the descriptors plus six [N] vectors
-(~250x less) and the kernel runs at MXU speed.
+(~250x less). Measured on a v5e at 4096x4096x128-D, batch 8: ~5x the XLA
+path; the per-tile top-2/argmin VPU passes, not the matmul, bound the
+kernel, so throughput is a single-digit fraction of the MXU's bf16 peak
+(see BENCH_r03 `matcher_matmul_tflops` for the current number).
 
 Per grid step (pair p, row-tile i, col-tile j; j minor):
   1. dist tile [TI, TJ] = |d1|^2 + |d2|^2 - 2 d1 d2^T   (bf16 MXU matmul,

@@ -167,8 +167,9 @@ def build_view_graph(recon, seed=0, min_inliers=30, max_ransac_iterations=256):
 
     # Fixed chunk geometry: every device call has the SAME (chunk, Np)
     # shape (the final chunk is padded with replicas of pair 0 and
-    # discarded), so exactly one program is compiled and reused.
-    chunk = min(P, max(1, int(2.5e8 // (2560 * Np))))
+    # discarded), so exactly one program is compiled and reused. The
+    # budget bounds the scored [pairs, hypotheses, N] tensor to ~4 GB.
+    chunk = min(P, max(1, int(1e9 // (2560 * Np))))
     n_chunks = -(-P // chunk)
 
     pts1 = np.zeros((n_chunks * chunk, Np, 2))
@@ -287,6 +288,11 @@ def evaluate(
         tracks_used=recon.num_tracks(),
         t_verify_s=t_verify,
         t_sfm_s=t_sfm,
+        t_sfm_rotation_s=summary.rotation_estimation_time,
+        t_sfm_position_s=summary.position_estimation_time,
+        t_sfm_pose_s=summary.pose_estimation_time,
+        t_sfm_triangulation_s=summary.triangulation_time,
+        t_sfm_ba_s=summary.bundle_adjustment_time,
         t_total_s=time.perf_counter() - t_all,
         success=bool(summary.success),
     )

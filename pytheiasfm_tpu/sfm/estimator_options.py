@@ -94,6 +94,9 @@ class ReconstructionEstimatorOptions:
     ransac_max_iterations: int = 1000
     ransac_use_mle: bool = True
     ransac_use_lo: bool = True
+    # SPRT two-stage preemption (`sample_consensus_estimator.h:58`
+    # use_Tdd_test; wired to the batched SPRT path in ransac/engine.py).
+    ransac_use_Tdd_test: bool = False
     ransac_lo_start_iterations: int = 50
 
     # Global SfM rotation filtering.
@@ -151,6 +154,10 @@ class ReconstructionEstimatorSummary:
     estimated_tracks: set = dataclasses.field(default_factory=set)
     camera_intrinsics_calibration_time: float = 0.0
     pose_estimation_time: float = 0.0
+    # Finer split of pose_estimation_time (the reference's performance
+    # tables report Rotation and Position separately, performance.md:52-70).
+    rotation_estimation_time: float = 0.0
+    position_estimation_time: float = 0.0
     triangulation_time: float = 0.0
     bundle_adjustment_time: float = 0.0
     total_time: float = 0.0
@@ -185,4 +192,5 @@ def set_ransac_parameters(
         max_iterations=options.ransac_max_iterations,
         use_mle=options.ransac_use_mle,
         use_lo=options.ransac_use_lo,
+        use_Tdd_test=options.ransac_use_Tdd_test,
     )

@@ -92,10 +92,11 @@ class GlobalReconstructionEstimator:
         orientations = rot_est.estimate_rotations(
             view_graph, int(opt.global_rotation_estimator_type)
         )
+        summary.rotation_estimation_time = time.perf_counter() - t0
         logger.info(
             "rotation estimation: %d orientations in %.3fs",
             len(orientations),
-            time.perf_counter() - t0,
+            summary.rotation_estimation_time,
         )
 
         # 4. Filter relative rotations that disagree (.cc:375-381).
@@ -143,11 +144,13 @@ class GlobalReconstructionEstimator:
                 orientations.pop(v, None)
 
         # 7. Global positions (.cc:418-452).
+        t_pos = time.perf_counter()
         positions = pos_est.estimate_positions(
             view_graph,
             orientations,
             int(opt.global_position_estimator_type),
         )
+        summary.position_estimation_time = time.perf_counter() - t_pos
         summary.pose_estimation_time = time.perf_counter() - t0
         logger.info(
             "position estimation: %d positions (R+t phase %.3fs)",
@@ -257,23 +260,35 @@ class GlobalReconstructionEstimator:
         rot2 = np.zeros((E, 3), dtype)
         init = np.zeros((E, 3), dtype)
 
-        def normalized(view_id, rows):
-            g = recon.view_group[view_id]
+        # Normalize the WHOLE observation table once per intrinsics group
+        # (one pow2-padded device call each). A per-edge normalize call
+        # recompiles for every distinct correspondence count — measured
+        # ~0.5 s/edge through the tunnel.
+        import jax
+
+        norm_uv = np.zeros((len(recon.obs_view), 2), dtype)
+        obs_group = recon.view_group[recon.obs_view]
+        for g in np.unique(obs_group):
+            rows = np.nonzero(obs_group == g)[0]
             params = jnp.asarray(recon.intrinsics[g])
             model = int(recon.group_model[g])
-            pix = jnp.asarray(recon.obs_uv[rows])
-            import jax
-
+            pad = 64
+            while pad < len(rows):
+                pad *= 2
+            pix = np.zeros((pad, 2))
+            pix[: len(rows)] = recon.obs_uv[rows]
             ray = np.asarray(
-                jax.vmap(lambda p: cam.pixel_to_normalized(params, p, model))(pix)
+                jax.vmap(lambda p: cam.pixel_to_normalized(params, p, model))(
+                    jnp.asarray(pix)
+                )
             )
-            return ray[:, :2] / ray[:, 2:3]
+            norm_uv[rows] = (ray[:, :2] / ray[:, 2:3])[: len(rows)]
 
         for e, ((i, j), (rows_i, rows_j)) in enumerate(zip(edges, corr)):
             k = len(rows_i)
             if k:
-                x1[e, :k] = normalized(i, rows_i)
-                x2[e, :k] = normalized(j, rows_j)
+                x1[e, :k] = norm_uv[rows_i]
+                x2[e, :k] = norm_uv[rows_j]
                 mask[e, :k] = True
             rot1[e] = orientations[i]
             rot2[e] = orientations[j]

@@ -33,6 +33,7 @@ from .reconstruction_estimator_utils import (
     set_underconstrained_tracks_to_unestimated,
     set_underconstrained_views_to_unestimated,
 )
+from ..utils.log import logger
 from .track_estimator import TrackEstimatorOptions, estimate_tracks
 from .visibility_pyramid import VisibilityPyramid
 
@@ -88,6 +89,11 @@ class HybridReconstructionEstimator:
         for v, aa in self.orientations.items():
             recon.view_extrinsics[v, 3:] = np.asarray(aa)
         self.summary.pose_estimation_time += time.perf_counter() - t0
+        logger.info(
+            "hybrid: %d global orientations in %.3fs",
+            len(self.orientations),
+            self.summary.pose_estimation_time,
+        )
 
         self.unlocalized_views = {
             v for v in view_graph.view_ids() if not recon.view_estimated[v]
@@ -97,6 +103,7 @@ class HybridReconstructionEstimator:
         if not self._choose_initial_view_pair():
             self.summary.success = False
             self.summary.message = "no suitable initial pair"
+            logger.warning("hybrid SfM aborted: no suitable initial pair")
             return self.summary
 
         # Steps 4-7: position localization loop.
@@ -149,6 +156,16 @@ class HybridReconstructionEstimator:
             num_estimated_views(recon) >= 2 and num_estimated_tracks(recon) > 0
         )
         self.summary.total_time = time.perf_counter() - t_start
+        logger.info(
+            "hybrid SfM: %d views, %d tracks in %.3fs (R %.3fs, tri %.3fs, "
+            "BA %.3fs)",
+            num_estimated_views(recon),
+            num_estimated_tracks(recon),
+            self.summary.total_time,
+            self.summary.pose_estimation_time,
+            self.summary.triangulation_time,
+            self.summary.bundle_adjustment_time,
+        )
         self.summary.message = (
             f"estimated {num_estimated_views(recon)} views, "
             f"{num_estimated_tracks(recon)} tracks"

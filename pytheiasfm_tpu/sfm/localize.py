@@ -74,8 +74,17 @@ def localize_view_to_reconstruction(
     model = int(recon.group_model[g])
     focal = float(recon.intrinsics[g][0])
 
-    pix = jnp.asarray(recon.obs_uv[rows])
-    rays = jax.vmap(lambda p: cam.pixel_to_normalized(params, p, model))(pix)
+    # pow2-pad so per-view calls at varying 2D-3D match counts share one
+    # compilation.
+    k = len(rows)
+    pad = 64
+    while pad < k:
+        pad *= 2
+    pix_np = np.zeros((pad, 2), recon.dtype)
+    pix_np[:k] = recon.obs_uv[rows]
+    rays = jax.vmap(lambda p: cam.pixel_to_normalized(params, p, model))(
+        jnp.asarray(pix_np)
+    )[:k]
     norm_feats = rays[:, :2] / rays[:, 2:3]
 
     tracks = recon.obs_track[rows]

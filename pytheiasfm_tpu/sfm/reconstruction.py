@@ -211,6 +211,86 @@ class Reconstruction:
             self.track_reference_view[track_id] = view_id
         return True
 
+    def add_tracks_bulk(self, count: int) -> np.ndarray:
+        """Vectorized `AddTrack` x count: returns the new track ids."""
+        base = self.num_tracks()
+        ids = np.arange(base, base + count)
+        self.points = np.vstack([self.points, np.zeros((count, 4), self.dtype)])
+        self.track_estimated = np.concatenate(
+            [self.track_estimated, np.zeros(count, bool)]
+        )
+        self.track_colors = np.vstack(
+            [self.track_colors, np.zeros((count, 3), np.uint8)]
+        )
+        self.track_inverse_depth = np.concatenate(
+            [self.track_inverse_depth, np.zeros(count, self.dtype)]
+        )
+        self.track_reference_view = np.concatenate(
+            [self.track_reference_view, np.full(count, kInvalidViewId, np.int32)]
+        )
+        self._track_obs.extend([] for _ in range(count))
+        return ids
+
+    def add_observations_bulk(
+        self,
+        view_ids,
+        track_ids,
+        pixels,
+        sqrt_inv_cov=None,
+    ) -> int:
+        """Vectorized `AddObservation` for large scenes.
+
+        One array concatenation instead of per-row vstack (which is
+        quadratic in the observation count). Duplicate (view, track) rows —
+        within the batch or against existing observations — are dropped,
+        keeping the first, preserving the track-consistency contract of
+        `Reconstruction::AddObservation` (`reconstruction.h:132`).
+        Returns the number of observations actually added.
+        """
+        view_ids = np.asarray(view_ids, np.int32)
+        track_ids = np.asarray(track_ids, np.int32)
+        pixels = np.asarray(pixels, self.dtype).reshape(len(view_ids), 2)
+        nt = max(self.num_tracks(), 1)
+        key = view_ids.astype(np.int64) * nt + track_ids
+        _, first = np.unique(key, return_index=True)
+        keep = np.zeros(len(key), bool)
+        keep[first] = True
+        if len(self.obs_view):
+            existing = {
+                (int(v), int(t))
+                for v, d in enumerate(self._view_track_to_obs)
+                for t in d
+            }
+            for i in np.nonzero(keep)[0]:
+                if (int(view_ids[i]), int(track_ids[i])) in existing:
+                    keep[i] = False
+        view_ids, track_ids, pixels = view_ids[keep], track_ids[keep], pixels[keep]
+        n = len(view_ids)
+        sic = (
+            np.ones((n, 2), self.dtype)
+            if sqrt_inv_cov is None
+            else np.asarray(sqrt_inv_cov, self.dtype).reshape(-1, 2)[keep]
+        )
+        base = len(self.obs_view)
+        self.obs_view = np.concatenate([self.obs_view, view_ids])
+        self.obs_track = np.concatenate([self.obs_track, track_ids])
+        self.obs_uv = np.vstack([self.obs_uv, pixels])
+        self.obs_sqrt_inv_cov = np.vstack([self.obs_sqrt_inv_cov, sic])
+        self.obs_depth_prior = np.concatenate(
+            [self.obs_depth_prior, np.zeros(n, self.dtype)]
+        )
+        self.obs_depth_prior_variance = np.concatenate(
+            [self.obs_depth_prior_variance, np.zeros(n, self.dtype)]
+        )
+        for i in range(n):
+            row = base + i
+            v, t = int(view_ids[i]), int(track_ids[i])
+            self._track_obs[t].append(row)
+            self._view_track_to_obs[v][t] = row
+            if self.track_reference_view[t] == kInvalidViewId:
+                self.track_reference_view[t] = v
+        return n
+
     def track_observations(self, track_id: int) -> list[int]:
         return self._track_obs[track_id]
 

@@ -186,10 +186,19 @@ def _normalized_obs_by_group(recon, obs_rows: np.ndarray):
         rows = obs_rows[sel]
         params = jnp.asarray(recon.intrinsics[g])
         model = int(recon.group_model[g])
-        pix = jnp.asarray(recon.obs_uv[rows])
+        # pow2-pad the batch so repeated calls at nearby sizes share one
+        # compilation (per-size recompiles cost ~seconds over the tunnel).
+        k = len(rows)
+        pad = 64
+        while pad < k:
+            pad *= 2
+        pix = np.zeros((pad, 2), recon.dtype)
+        pix[:k] = recon.obs_uv[rows]
         n = np.asarray(
-            jax.vmap(lambda p: cam.pixel_to_normalized(params, p, model))(pix)
-        )
+            jax.vmap(lambda p: cam.pixel_to_normalized(params, p, model))(
+                jnp.asarray(pix)
+            )
+        )[:k]
         norm[sel] = n[:, :2] / n[:, 2:3]
         focal[sel] = float(recon.intrinsics[g][0])
     return norm, focal

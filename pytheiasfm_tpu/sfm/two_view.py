@@ -14,6 +14,7 @@ Paths (estimate_twoview_info.h:84-96):
 from __future__ import annotations
 
 import dataclasses
+from functools import partial
 
 import jax
 import jax.numpy as jnp
@@ -186,23 +187,32 @@ def estimate_two_view_info(
     return info, inlier_idx
 
 
+@partial(jax.jit, static_argnames=("params", "quality"))
+def _batched_verifier_run(keys, points1, points2, mask, thresh, params, quality):
+    def one(key, p1, p2, m, th):
+        return _calibrated_kernel(key, p1, p2, m, th, params, quality)
+
+    return jax.vmap(one)(keys, points1, points2, mask, thresh)
+
+
 def make_batched_verifier(params: engine.RansacParameters, quality: str = "mle"):
-    """Build a jitted batched verifier over P pairs.
+    """Build a batched verifier over P pairs.
 
     Inputs (padded): points1/points2 [P, N, 2] normalized coords,
     mask [P, N], thresh [P]. Returns per-pair (rotation angle-axis [P, 3],
     position [P, 3], inliers [P, N], num_inliers [P]).
 
     This is the sharding-friendly entry: shard the P axis across devices and
-    every pair's full RANSAC runs on-chip.
+    every pair's full RANSAC runs on-chip. The underlying jit is a
+    module-level function with (params, quality) static, so every caller at
+    the same shapes shares ONE compilation — a fresh closure per call would
+    recompile each time (the round-2 fountain run lost ~100 s/run to this).
     """
 
-    @jax.jit
     def run(keys, points1, points2, mask, thresh):
-        def one(key, p1, p2, m, th):
-            return _calibrated_kernel(key, p1, p2, m, th, params, quality)
-
-        return jax.vmap(one)(keys, points1, points2, mask, thresh)
+        return _batched_verifier_run(
+            keys, points1, points2, mask, thresh, params, quality
+        )
 
     return run
 

@@ -67,6 +67,9 @@ def main():
         "tracks_used": last["tracks_used"],
         "t_verify_s": round(last["t_verify_s"], 2),
         "t_sfm_s": round(last["t_sfm_s"], 2),
+        "t_sfm_pose_s": round(last["t_sfm_pose_s"], 2),
+        "t_sfm_triangulation_s": round(last["t_sfm_triangulation_s"], 2),
+        "t_sfm_ba_s": round(last["t_sfm_ba_s"], 2),
         "t_total_s": round(last["t_total_s"], 2),
         "t_total_first_run_s": round(first["t_total_s"], 2),
         "success": bool(last["success"]),
