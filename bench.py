@@ -144,13 +144,18 @@ def bench_ba(obs_per_track=6):
         ext, q, pts, summary = bundle_adjust_dense(*args, **kw)
         return ext, pts, summary
 
-    # Warm-up (compile).
+    # Warm-up (compile). Timing uses HOST FETCHES, not block_until_ready:
+    # through the axon tunnel block_until_ready does not reliably force
+    # queued work, a fetch does (the transferred arrays are <1 MB, noise
+    # next to the multi-second solve).
     out = run()
-    jax.block_until_ready(out[:2])
+    np.asarray(out[0])
+    np.asarray(out[1])
 
     t0 = time.perf_counter()
     out = run()
-    jax.block_until_ready(out[:2])
+    np.asarray(out[0])
+    np.asarray(out[1])
     elapsed = time.perf_counter() - t0
     summary = out[2]
 
@@ -172,12 +177,18 @@ def bench_ba(obs_per_track=6):
     return elapsed, iters, summary, cost
 
 
-def bench_matching(n_desc=4096, dim=128, pairs=8, reps=5):
+def bench_matching(n_desc=4096, dim=128, pairs=8, reps=20):
     """Matched pairs/s/chip: image pairs fully matched per second (4096x4096
     descriptors each, Lowe ratio + symmetric check) + raw descriptor-pair
-    comparisons/s for the roofline view. Times both the XLA matcher and the
-    Pallas streaming kernel (HBM-traffic-free top-2 fusion) and reports the
-    faster as the headline."""
+    comparisons/s for the roofline view.
+
+    Timing methodology: `reps` matcher invocations run INSIDE one jitted
+    `fori_loop` with a data dependency between iterations, fetched once.
+    Per-call host timing through the axon tunnel measures ~170 ms of RPC
+    round-trip latency per call, and block_until_ready does not force
+    queued async dispatches — the on-device loop measures what the chip
+    actually does.
+    """
     import jax
     import jax.numpy as jnp
 
@@ -196,23 +207,30 @@ def bench_matching(n_desc=4096, dim=128, pairs=8, reps=5):
     m = jnp.ones((pairs, n_desc), bool)
     ratio = jnp.asarray(0.8, jnp.float32)
 
-    def timed(fn):
-        out = fn()
-        jax.block_until_ready(out)
+    def timed_loop(fn):
+        @jax.jit
+        def loop(a, b):
+            def body(i, carry):
+                acc, ax = carry
+                _idx, dist = fn(ax, b)
+                s = jnp.sum(dist)
+                return acc + s, ax + 0.0 * s
+            acc, _ = jax.lax.fori_loop(0, reps, body, (jnp.float32(0), a))
+            return acc
+
+        float(loop(d1, d2))  # compile + run
         t0 = time.perf_counter()
-        for _ in range(reps):
-            out = fn()
-            jax.block_until_ready(out)
+        float(loop(d1, d2))
         return (time.perf_counter() - t0) / reps
 
-    dt_xla = timed(lambda: match_descriptors_batch(d1, d2, m, m, ratio))
+    dt_xla = timed_loop(lambda a, b: match_descriptors_batch(a, b, m, m, ratio))
     on_tpu = jax.default_backend() not in ("cpu",)
     dt_pallas = None
     parity = None
     if on_tpu:
         try:
-            dt_pallas = timed(
-                lambda: match_descriptors_batch_pallas(d1, d2, m, m, ratio)
+            dt_pallas = timed_loop(
+                lambda a, b: match_descriptors_batch_pallas(a, b, m, m, ratio)
             )
             # On-hardware numerical parity: the Mosaic-compiled kernel must
             # produce the XLA matcher's matches (modulo exact-tie argmin

@@ -6,10 +6,12 @@ HBM-bandwidth-bound: 64 MB of distances written and re-read per direction
 against only ~4 GFLOP of matmul. This kernel fuses the distance matmul with
 BOTH direction top-2 reductions inside VMEM — flash-attention-style
 streaming — so HBM traffic drops to the descriptors plus six [N] vectors
-(~250x less). Measured on a v5e at 4096x4096x128-D, batch 8: ~5x the XLA
-path; the per-tile top-2/argmin VPU passes, not the matmul, bound the
-kernel, so throughput is a single-digit fraction of the MXU's bf16 peak
-(see BENCH_r03 `matcher_matmul_tflops` for the current number).
+(~250x less). Measured on a v5e at 4096x4096x128-D, batch 8, with
+on-device dependency-loop timing: ~17 TFLOP/s of distance matmul
+(~4000 image pairs/s, tiles 512x4096, bf16 descriptors) vs ~0.5 TFLOP/s
+for the XLA path — the remaining gap to the MXU's 197 TFLOP/s bf16 peak
+is the per-tile top-2/argmin VPU passes (see BENCH_r03
+`matcher_matmul_tflops` for the tracked number).
 
 Per grid step (pair p, row-tile i, col-tile j; j minor):
   1. dist tile [TI, TJ] = |d1|^2 + |d2|^2 - 2 d1 d2^T   (bf16 MXU matmul,
@@ -53,6 +55,19 @@ def _tile_top2_rows(dist, col0, TJ):
     return m1, m2, (arg1 + col0).astype(jnp.int32)
 
 
+def _tile_top2_cols(dist, row0, TI):
+    """Column-wise (m1, m2, arg1-global) of a [TI, TJ] tile — reduces over
+    axis 0 directly so the tile is never transposed (a [TI, TJ] relayout
+    per grid step was ~30% of the kernel's VPU time)."""
+    m1 = jnp.min(dist, axis=0)
+    rows = jax.lax.broadcasted_iota(jnp.int32, dist.shape, 0)
+    is_min = dist == m1[None, :]
+    arg1 = jnp.min(jnp.where(is_min, rows, TI), axis=0)
+    masked = jnp.where(rows == arg1[None, :], _BIG, dist)
+    m2 = jnp.min(masked, axis=0)
+    return m1, m2, (arg1 + row0).astype(jnp.int32)
+
+
 def _merge_top2(b1, b2, a1, m1, m2, marg):
     """Merge carried (b1 <= b2, arg a1) with tile (m1 <= m2, arg marg)."""
     nb1 = jnp.minimum(b1, m1)
@@ -90,9 +105,10 @@ def _matcher_kernel(
     a2 = a2_ref[p, pl.ds(j * TJ, TJ)]
     # d2 arrives pre-transposed [D, TJ] so the bf16 MXU matmul is a plain
     # ((1,),(0,)) contraction (Mosaic rejects rhs-contracted bf16 matmuls).
+    # Descriptors arrive ALREADY bf16 (halves their HBM traffic).
     prod = jax.lax.dot_general(
-        d1_ref[0].astype(jnp.bfloat16),
-        d2t_ref[0].astype(jnp.bfloat16),
+        d1_ref[0],
+        d2t_ref[0],
         (((1,), (0,)), ((), ())),
         precision=jax.lax.Precision.DEFAULT,
         preferred_element_type=jnp.float32,
@@ -114,8 +130,8 @@ def _matcher_kernel(
     s_fb2[0] = nb2
     s_fa[0] = na1
 
-    # Reverse (columns).
-    r1, r2, rarg = _tile_top2_rows(dist.T, i * TI, TI)
+    # Reverse (columns) — axis-0 reduction, no transpose.
+    r1, r2, rarg = _tile_top2_cols(dist, i * TI, TI)
     ob1 = s_rb1[0, pl.ds(j * TJ, TJ)]
     ob2 = s_rb2[0, pl.ds(j * TJ, TJ)]
     oa = s_ra[0, pl.ds(j * TJ, TJ)]
@@ -141,7 +157,7 @@ def _matcher_kernel(
     jax.jit, static_argnames=("tile_i", "tile_j", "interpret")
 )
 def streaming_top2(
-    d1, d2t, a1, a2, tile_i: int = 256, tile_j: int = 512,
+    d1, d2t, a1, a2, tile_i: int = 512, tile_j: int = 4096,
     interpret: bool = False,
 ):
     """Fused both-direction top-2 over squared-L2 distances.
@@ -221,12 +237,16 @@ def match_descriptors_batch_pallas(
     lowes_ratio,
     use_lowes_ratio: bool = True,
     keep_only_symmetric: bool = True,
-    tile_i: int = 256,
-    tile_j: int = 512,
+    tile_i: int = 512,
+    tile_j: int = 4096,
     interpret: bool = False,
 ):
     """Drop-in equivalent of `brute_force.match_descriptors_batch` running
     the fused streaming kernel. Returns (match_idx [P, N], distance [P, N]).
+
+    Norms are computed in f32; descriptors are shipped to the kernel in
+    bf16 (the same precision the MXU matmul uses either way), halving the
+    dominant HBM traffic.
     """
     P, N, D = d1.shape
     Dp = -(-D // 128) * 128
@@ -240,7 +260,12 @@ def match_descriptors_batch_pallas(
     a2 = jnp.sum(d2 * d2, axis=-1) + jnp.where(mask2, 0.0, _BIG)
 
     fb1, fb2, fa, rb1, rb2, ra = streaming_top2(
-        d1, jnp.swapaxes(d2, 1, 2), a1, a2, tile_i=tile_i, tile_j=tile_j,
+        d1.astype(jnp.bfloat16),
+        jnp.swapaxes(d2, 1, 2).astype(jnp.bfloat16),
+        a1,
+        a2,
+        tile_i=tile_i,
+        tile_j=tile_j,
         interpret=interpret,
     )
 

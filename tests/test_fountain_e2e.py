@@ -20,10 +20,10 @@ sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "tools"))
 FOUNTAIN = "/root/reference/data/sfm/fountain11.bin"
 GT_FOUNTAIN = "/root/reference/data/sfm/gt_fountain11.bin"
 
-pytestmark = pytest.mark.skipif(
+pytestmark = [pytest.mark.slow] + [pytest.mark.skipif(
     not (os.path.exists(FOUNTAIN) and os.path.exists(GT_FOUNTAIN)),
     reason="reference fountain fixtures unavailable",
-)
+)]
 
 
 @pytest.fixture(scope="module")

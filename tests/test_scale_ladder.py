@@ -12,6 +12,8 @@ import time
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow
+
 from pytheiasfm_tpu import global_pose as gp
 
 from test_global_pose import make_scene, position_error, rotation_error_deg
