@@ -87,6 +87,7 @@ def _view_reduce(values, onehot_flat):
         "max_track_len",
         "num_groups",
         "options",
+        "mesh",
     ),
 )
 def bundle_adjust_dense(
@@ -108,11 +109,19 @@ def bundle_adjust_dense(
     num_groups: int,
     options: BundleAdjustmentOptions,
     priors=None,
+    mesh=None,
 ):
     """LM to convergence with a dense materialized Schur complement.
 
     Returns (extrinsics, intrinsics, points, summary) like
     `lm.bundle_adjust`. Intrinsics are NOT optimized here (see module doc).
+
+    `mesh` (optional, static): a 1-D `jax.sharding.Mesh` with axis "data".
+    When given, the Schur off-diagonal product — the FLOP-dominant stage —
+    runs as an EXPLICIT `shard_map` over the track axis with one `psum`
+    per chunk (SURVEY §7.9: collectives pinned for multi-host/DCN layouts
+    rather than GSPMD-inferred). Requires num_tracks divisible by the mesh
+    size.
     """
     dtype = extrinsics.dtype
     V, T, L = num_views, num_tracks, max_track_len
@@ -249,22 +258,48 @@ def bundle_adjust_dense(
         mm_dtype = jnp.bfloat16 if mixed else dtype
         place_dims = (((1,), (1,)), ((0,), (0,)))
         prod_dims = (((0, 3), (0, 3)), ((), ()))
-        for c in range(n_chunks):
-            lo = c * TCHUNK
-            hi = min(T, lo + TCHUNK)
-            ohc = oh_slot[lo:hi]  # [Tc, L, V]
+
+        def chunk_s_off(ohc, Wc, Zc):
             Wx = jax.lax.dot_general(
-                ohc, W[lo:hi], place_dims, preferred_element_type=dtype
+                ohc, Wc, place_dims, preferred_element_type=dtype
             )  # [Tc, V, 6, 3]
             Zx = jax.lax.dot_general(
-                ohc, Z[lo:hi], place_dims, preferred_element_type=dtype
+                ohc, Zc, place_dims, preferred_element_type=dtype
             )
-            S4 = S4 - jax.lax.dot_general(
+            return jax.lax.dot_general(
                 Zx.astype(mm_dtype),
                 Wx.astype(mm_dtype),
                 prod_dims,
                 preferred_element_type=dtype,
             )
+
+        if mesh is not None:
+            # Explicit-collectives path: tracks sharded over the mesh, one
+            # psum combines per-device partial Schur products.
+            from jax.sharding import PartitionSpec as PS
+
+            try:  # jax>=0.4.31
+                from jax import shard_map
+            except ImportError:  # pragma: no cover
+                from jax.experimental.shard_map import shard_map
+
+            axis = mesh.axis_names[0]
+
+            @partial(
+                shard_map,
+                mesh=mesh,
+                in_specs=(PS(axis), PS(axis), PS(axis)),
+                out_specs=PS(),
+            )
+            def sharded_s_off(ohc, Wc, Zc):
+                return jax.lax.psum(chunk_s_off(ohc, Wc, Zc), axis)
+
+            S4 = S4 - sharded_s_off(oh_slot, W, Z)
+        else:
+            for c in range(n_chunks):
+                lo = c * TCHUNK
+                hi = min(T, lo + TCHUNK)
+                S4 = S4 - chunk_s_off(oh_slot[lo:hi], W[lo:hi], Z[lo:hi])
         S = S4.reshape(N, N)
         S = 0.5 * (S + S.T)
 
