@@ -49,7 +49,7 @@ from .lm import (
     TrackParametrizationType,
     _Problem,
     _prior_blocks,
-    inv3x3,
+    inv_small_spd,
 )
 
 __all__ = ["bundle_adjust_dense", "DENSE_SCHUR_MAX_CAMERAS"]
@@ -211,7 +211,7 @@ def bundle_adjust_dense(
             + mu * (eye3 * jnp.maximum(diagVt, 1e-6)[..., None, :])
             + 1e-10 * eye3
         )
-        Vinv = inv3x3(Vt_d)
+        Vinv = inv_small_spd(Vt_d, 3)
         bp = -jnp.einsum("tlri,tlr->ti", Jp_t, r_t)  # [T,3]
 
         # Camera-point coupling blocks and their V^-1 product.

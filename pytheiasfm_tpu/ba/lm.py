@@ -413,7 +413,11 @@ def inv3x3(A):
 
 def inv_small_spd(A, K: int):
     """Batched small SPD inverse without LAPACK loops: closed-form for
-    K in {1, 3}, 3+3 block-Schur built on `inv3x3` for K=6."""
+    K in {1, 3}, 3+3 block-Schur built on `inv3x3` for K=6.
+
+    (A Newton polish step was tried and REMOVED: for the near-singular
+    damped blocks BA produces, X(2I-AX) amplifies the adjugate's rounding
+    instead of contracting it.)"""
     if K == 1:
         return 1.0 / jnp.where(jnp.abs(A) < 1e-30, 1e-30, A)
     if K == 3:
