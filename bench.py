@@ -278,6 +278,18 @@ def bench_fountain():
     return dict(first=first, second=second)
 
 
+def bench_global_pipeline():
+    """Synthetic Notre-Dame-scale GLOBAL pipeline (553 views / 50k tracks /
+    ~280k obs / ~11k edges) through the real GlobalReconstructionEstimator,
+    per phase, twice (run 2 = post-compile). Baselines: Notre Dame
+    rotation 4.91 s / position 43.37 s / BA 196.22 s / total 330.71 s
+    (BASELINE.md, performance.md:59)."""
+    from pytheiasfm_tpu.pipelines import synthetic_global as sg
+
+    sg.run(V=553, T=50_000, seed=0)  # warm (compiles -> persistent cache)
+    return sg.run(V=553, T=50_000, seed=0)
+
+
 def main():
     from pytheiasfm_tpu.utils.cache import enable_persistent_cache
 
@@ -288,6 +300,10 @@ def main():
         fount = bench_fountain()
     except Exception:
         fount = None
+    try:
+        gp = bench_global_pipeline()
+    except Exception:
+        gp = None
 
     baseline_s = 196.22  # Notre Dame BA, Ceres CPU (BASELINE.md)
     result = {
@@ -331,6 +347,27 @@ def main():
             fount["second"]["median_mm"], 3
         )
         result["fountain_cameras"] = f"{fount['second']['cameras']}/11"
+    if gp is not None:
+        # Per-phase vs the reference's Notre Dame table (performance.md:59).
+        result["global_rotation_s"] = round(gp["t_rotation_s"], 2)
+        result["global_rotation_vs_baseline"] = round(
+            4.91 / max(gp["t_rotation_s"], 1e-9), 2
+        )
+        result["global_position_s"] = round(gp["t_position_s"], 2)
+        result["global_position_vs_baseline"] = round(
+            43.37 / max(gp["t_position_s"], 1e-9), 2
+        )
+        result["global_triangulation_s"] = round(gp["t_triangulation_s"], 2)
+        result["global_ba_s"] = round(gp["t_ba_s"], 2)
+        result["global_ba_vs_baseline"] = round(
+            196.22 / max(gp["t_ba_s"], 1e-9), 2
+        )
+        result["global_total_s"] = round(gp["t_total_s"], 2)
+        result["global_total_vs_baseline"] = round(
+            330.71 / max(gp["t_total_s"], 1e-9), 2
+        )
+        result["global_median_pos_err_m"] = round(gp["median_pos_err"], 4)
+        result["global_views"] = f"{gp['views']}/{gp['views_total']}"
     if cost:
         # Utilization vs TPU v5e peaks (197 TFLOP/s bf16 MXU, ~819 GB/s
         # HBM) from the compiler's cost model. XLA counts the LM

@@ -52,7 +52,11 @@ from .lm import (
     inv_small_spd,
 )
 
-__all__ = ["bundle_adjust_dense", "DENSE_SCHUR_MAX_CAMERAS"]
+__all__ = [
+    "bundle_adjust_dense",
+    "joint_covariance_dense",
+    "DENSE_SCHUR_MAX_CAMERAS",
+]
 
 # Above this the dense [6V, 6V] system stops being the right tool and the
 # implicit-PCG kernel takes over — the same crossover rule as the

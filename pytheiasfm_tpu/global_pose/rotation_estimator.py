@@ -86,28 +86,32 @@ def orientations_from_maximum_spanning_tree(view_graph):
     for e in tree:
         adj.setdefault(int(v1[e]), []).append((int(v2[e]), e))
         adj.setdefault(int(v2[e]), []).append((int(v1[e]), e))
+    # Host numpy rotation math: a device call per tree node costs a full
+    # tunnel round trip (~90 s at 553 views in round 3).
+    from ..ops.rotation_np import (
+        angle_axis_to_rotation_matrix_np,
+        rotation_matrix_to_angle_axis_np,
+    )
+
+    R_rel_all = angle_axis_to_rotation_matrix_np(rel_rot)
     root = int(min(adj.keys()))
     orientations = {root: np.zeros(3)}
+    R_cache = {root: np.eye(3)}
     stack = [root]
     while stack:
         cur = stack.pop()
-        R_cur = np.asarray(
-            rotops.angle_axis_to_rotation_matrix(jnp.asarray(orientations[cur]))
-        )
+        R_cur = R_cache[cur]
         for (nb, e) in adj[cur]:
             if nb in orientations:
                 continue
-            R_rel = np.asarray(
-                rotops.angle_axis_to_rotation_matrix(jnp.asarray(rel_rot[e]))
-            )
+            R_rel = R_rel_all[e]
             # Edge stores v1->v2: R_{v2} = R_rel · R_{v1}.
             if int(v1[e]) == cur:
                 R_nb = R_rel @ R_cur
             else:
                 R_nb = R_rel.T @ R_cur
-            orientations[nb] = np.asarray(
-                rotops.rotation_matrix_to_angle_axis(jnp.asarray(R_nb))
-            )
+            R_cache[nb] = R_nb
+            orientations[nb] = rotation_matrix_to_angle_axis_np(R_nb)
             stack.append(nb)
     return orientations
 
@@ -146,12 +150,31 @@ def robust_rotation_averaging(
     dtype = orientations.dtype
     fm = free_mask.astype(dtype)[:, None]
 
+    # The L1/IRLS stages run thousands of sequential CG steps; at that
+    # trip count a scatter-based incidence matvec costs seconds of pure
+    # scatter latency (round-3 measurement: 113 s for Notre-Dame-scale).
+    # Materialize the signed incidence matrix D [E, V] (one-hot(j) -
+    # one-hot(i)) so A x and A^T y are MXU matmuls — loop-invariant, so
+    # XLA keeps ONE copy live across the whole scan. Above ~256 MB
+    # (Trafalgar-scale graphs) fall back to the scatter form.
+    E = edge_i.shape[0]
+    use_dense = E * num_views <= 64_000_000
+    if use_dense:
+        ar = jnp.arange(num_views, dtype=edge_i.dtype)
+        D = (edge_j[:, None] == ar[None, :]).astype(dtype) - (
+            edge_i[:, None] == ar[None, :]
+        ).astype(dtype)
+
     def apply_A(delta):
         d = delta.reshape(num_views, 3) * fm
+        if use_dense:
+            return (D @ d).reshape(-1)
         return (d[edge_j] - d[edge_i]).reshape(-1)
 
     def apply_At(y):
         yv = y.reshape(-1, 3)
+        if use_dense:
+            return (D.T @ yv * fm).reshape(-1)
         acc = jax.ops.segment_sum(yv, edge_j, num_segments=num_views)
         acc -= jax.ops.segment_sum(yv, edge_i, num_segments=num_views)
         return (acc * fm).reshape(-1)
@@ -189,14 +212,10 @@ def robust_rotation_averaging(
         sw = jnp.sqrt(w)[:, None]
 
         def apply_Aw(delta):
-            d = delta.reshape(num_views, 3) * fm
-            return ((d[edge_j] - d[edge_i]) * sw).reshape(-1)
+            return (apply_A(delta).reshape(-1, 3) * sw).reshape(-1)
 
         def apply_Atw(y):
-            yv = y.reshape(-1, 3) * sw
-            acc = jax.ops.segment_sum(yv, edge_j, num_segments=num_views)
-            acc -= jax.ops.segment_sum(yv, edge_i, num_segments=num_views)
-            return (acc * fm).reshape(-1)
+            return apply_At((y.reshape(-1, 3) * sw).reshape(-1))
 
         matvec = lambda v: apply_Atw(apply_Aw(v))
         rhs = apply_Atw((e * sw).reshape(-1))
@@ -319,6 +338,14 @@ def nonlinear_rotation_averaging(
     """
     dtype = orientations.dtype
     fm = free_mask.astype(dtype)[:, None]
+    # Dense signed incidence (see robust_rotation_averaging): CG matvecs
+    # as matmuls instead of scatters; scatter fallback above ~256 MB.
+    use_dense = edge_i.shape[0] * num_views <= 64_000_000
+    if use_dense:
+        ar = jnp.arange(num_views, dtype=edge_i.dtype)
+        D = (edge_j[:, None] == ar[None, :]).astype(dtype) - (
+            edge_i[:, None] == ar[None, :]
+        ).astype(dtype)
     degree = (
         jax.ops.segment_sum(jnp.ones_like(edge_i, dtype), edge_i, num_segments=num_views)
         + jax.ops.segment_sum(jnp.ones_like(edge_j, dtype), edge_j, num_segments=num_views)
@@ -337,10 +364,13 @@ def nonlinear_rotation_averaging(
 
         def apply_Aw(delta):
             d = delta.reshape(num_views, 3) * fm
-            return ((d[edge_j] - d[edge_i]) * sw).reshape(-1)
+            ad = (D @ d) if use_dense else (d[edge_j] - d[edge_i])
+            return (ad * sw).reshape(-1)
 
         def apply_Atw(y):
             yv = y.reshape(-1, 3) * sw
+            if use_dense:
+                return (D.T @ yv * fm).reshape(-1)
             acc = jax.ops.segment_sum(yv, edge_j, num_segments=num_views)
             acc -= jax.ops.segment_sum(yv, edge_i, num_segments=num_views)
             return (acc * fm).reshape(-1)

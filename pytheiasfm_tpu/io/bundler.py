@@ -13,6 +13,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..ops import rotation as rotops
+from ..ops import rotation_np
 from ..sfm.reconstruction import CameraIntrinsicsPrior, Reconstruction
 
 __all__ = ["write_bundler_files", "read_bundler_files"]
@@ -40,7 +41,7 @@ def write_bundler_files(recon, bundle_file: str, lists_file: str) -> bool:
             bf.write(f"{focal} {k1} {k2}\n")
             aa = recon.view_extrinsics[v, 3:]
             c = recon.view_extrinsics[v, :3]
-            R = np.asarray(rotops.angle_axis_to_rotation_matrix(jnp.asarray(aa)))
+            R = rotation_np.angle_axis_to_rotation_matrix_np(aa)
             Rb = _FLIP @ R
             tb = _FLIP @ (-R @ c)
             for row in Rb:

@@ -13,6 +13,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..ops import rotation as rotops
+from ..ops import rotation_np
 
 __all__ = ["write_colmap_files"]
 
@@ -44,7 +45,7 @@ def write_colmap_files(recon, output_dir: str) -> bool:
                 continue
             aa = recon.view_extrinsics[v, 3:]
             c = recon.view_extrinsics[v, :3]
-            R = np.asarray(rotops.angle_axis_to_rotation_matrix(jnp.asarray(aa)))
+            R = rotation_np.angle_axis_to_rotation_matrix_np(aa)
             q = np.asarray(rotops.rotation_matrix_to_quaternion(jnp.asarray(R)))
             t = -R @ c
             f.write(

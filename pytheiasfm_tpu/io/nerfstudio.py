@@ -15,6 +15,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..ops import rotation as rotops
+from ..ops import rotation_np
 
 __all__ = ["write_nerfstudio_files", "write_sdfstudio_files"]
 
@@ -24,7 +25,7 @@ _CV_TO_GL = np.diag([1.0, -1.0, -1.0])
 def _camera_to_world_gl(recon, v) -> np.ndarray:
     aa = recon.view_extrinsics[v, 3:]
     c = recon.view_extrinsics[v, :3]
-    R = np.asarray(rotops.angle_axis_to_rotation_matrix(jnp.asarray(aa)))
+    R = rotation_np.angle_axis_to_rotation_matrix_np(aa)
     c2w = np.eye(4)
     c2w[:3, :3] = R.T @ _CV_TO_GL
     c2w[:3, 3] = c

@@ -12,6 +12,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..ops import rotation as rotops
+from ..ops import rotation_np
 from ..sfm.reconstruction import CameraIntrinsicsPrior, Reconstruction
 
 __all__ = ["export_nvm_file", "import_nvm_file"]
@@ -28,7 +29,7 @@ def export_nvm_file(recon, path: str) -> bool:
             params = recon.intrinsics[g]
             aa = recon.view_extrinsics[v, 3:]
             c = recon.view_extrinsics[v, :3]
-            R = np.asarray(rotops.angle_axis_to_rotation_matrix(jnp.asarray(aa)))
+            R = rotation_np.angle_axis_to_rotation_matrix_np(aa)
             q = np.asarray(rotops.rotation_matrix_to_quaternion(jnp.asarray(R)))
             k1 = params[5] if len(params) > 5 else 0.0
             f.write(
@@ -86,7 +87,7 @@ def import_nvm_file(path: str) -> Reconstruction:
         R = np.asarray(
             rotops.quaternion_to_rotation_matrix(jnp.asarray(q))
         )
-        aa = np.asarray(rotops.rotation_matrix_to_angle_axis(jnp.asarray(R)))
+        aa = rotation_np.rotation_matrix_to_angle_axis_np(R)
         recon.view_extrinsics[v, :3] = c
         recon.view_extrinsics[v, 3:] = aa
         recon.view_estimated[v] = True

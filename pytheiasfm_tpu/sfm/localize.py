@@ -142,9 +142,11 @@ def localize_view_to_reconstruction(
         if int(summary.num_inliers) < options.min_num_inliers:
             return False, summary
 
+        from ..ops.rotation_np import rotation_matrix_to_angle_axis_np
+
         R = np.asarray(model_best.rotation)
         pos = np.asarray(model_best.position)
-        aa = np.asarray(rotops.rotation_matrix_to_angle_axis(jnp.asarray(R)))
+        aa = rotation_matrix_to_angle_axis_np(R)
         recon.view_extrinsics[view_id, :3] = pos
         recon.view_extrinsics[view_id, 3:] = aa
         recon.view_estimated[view_id] = True

@@ -31,15 +31,13 @@ class TwoViewInfo:
 
     def swap_cameras(self):
         """Parity: `theia::SwapCameras` (`twoview_info.h:109`): invert the
-        relative transform so the edge reads (2 -> 1)."""
-        from ..ops import rotation as rotops
-        import jax.numpy as jnp
+        relative transform so the edge reads (2 -> 1). Host numpy — this
+        runs per edge inside graph-construction loops."""
+        from ..ops.rotation_np import angle_axis_to_rotation_matrix_np
 
-        R = np.asarray(
-            rotops.angle_axis_to_rotation_matrix(jnp.asarray(self.rotation_2))
-        )
-        self.rotation_2 = -self.rotation_2
-        self.position_2 = -(R @ self.position_2)
+        R = angle_axis_to_rotation_matrix_np(self.rotation_2)
+        self.rotation_2 = -np.asarray(self.rotation_2)
+        self.position_2 = -(R @ np.asarray(self.position_2))
         self.focal_length_1, self.focal_length_2 = (
             self.focal_length_2,
             self.focal_length_1,

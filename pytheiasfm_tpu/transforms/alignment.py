@@ -72,17 +72,18 @@ def transform_reconstruction(recon, R, t, s):
     tnp = np.asarray(t)
     snp = float(s)
     V = recon.num_views()
-    for v in range(V):
-        c = recon.view_extrinsics[v, :3]
-        recon.view_extrinsics[v, :3] = snp * (Rnp @ c) + tnp
-        R_c = np.asarray(
-            rotops.angle_axis_to_rotation_matrix(
-                jnp.asarray(recon.view_extrinsics[v, 3:])
-            )
-        )
-        recon.view_extrinsics[v, 3:] = np.asarray(
-            rotops.rotation_matrix_to_angle_axis(jnp.asarray(R_c @ Rnp.T))
-        )
+    # Batched host numpy (a device round trip per view is ~ms each).
+    from ..ops.rotation_np import (
+        angle_axis_to_rotation_matrix_np,
+        rotation_matrix_to_angle_axis_np,
+    )
+
+    centers = recon.view_extrinsics[:V, :3]
+    recon.view_extrinsics[:V, :3] = snp * (centers @ Rnp.T) + tnp
+    R_all = angle_axis_to_rotation_matrix_np(recon.view_extrinsics[:V, 3:])
+    recon.view_extrinsics[:V, 3:] = rotation_matrix_to_angle_axis_np(
+        np.einsum("vij,kj->vik", R_all, Rnp)
+    )
     w = recon.points[:, 3:4]
     pts3 = recon.points[:, :3] / np.where(np.abs(w) < 1e-12, 1.0, w)
     recon.points[:, :3] = (snp * (pts3 @ Rnp.T) + tnp) * np.where(
