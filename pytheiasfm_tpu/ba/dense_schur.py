@@ -374,3 +374,151 @@ def bundle_adjust_dense(
         num_iterations=iters,
     )
     return ext_out, intrinsics, pts_out, summary
+
+
+@partial(
+    jax.jit,
+    static_argnames=(
+        "present_models",
+        "num_views",
+        "num_tracks",
+        "max_track_len",
+        "num_groups",
+        "options",
+    ),
+)
+def joint_covariance_dense(
+    extrinsics,
+    intrinsics,
+    points,
+    view_group,
+    group_model_idx,
+    track_views,
+    obs_uv,
+    obs_sqrt_info,
+    obs_mask,
+    camera_free,  # [V] bool
+    point_free,  # [T] bool
+    present_models: tuple,
+    num_views: int,
+    num_tracks: int,
+    max_track_len: int,
+    num_groups: int,
+    options: BundleAdjustmentOptions,
+):
+    """EXACT joint-problem marginal covariances via the dense Schur
+    complement — the general-case `ceres::Covariance` on the full BA
+    problem (`bundle_adjuster.cc:660-744`), not the block-diagonal
+    other-group-constant approximation:
+
+      cov(cams)   = sigma^2 * S^-1            (S = U - W V^-1 W^T, mu = 0)
+      cov(trk t)  = sigma^2 * (V_t^-1 + Y_t^T S^-1 Y_t),  Y_t = W_t V_t^-1
+
+    (standard block-inverse identities on [[U, W], [W^T, V]]). Frozen
+    (gauge) cameras carry identity rows; their returned blocks are
+    placeholders. Returns (cam_cov [V,6,6], track_cov [T,3,3], cost,
+    num_residuals) WITHOUT the sigma^2 factor — the caller scales by the
+    empirical variance factor.
+    """
+    dtype = extrinsics.dtype
+    V, T, L = num_views, num_tracks, max_track_len
+    O = T * L
+    N = 6 * V
+
+    obs_view = track_views.reshape(O)
+    obs_track = jnp.repeat(
+        jnp.arange(T, dtype=jnp.int32), L, total_repeat_length=O
+    )
+    prob = _Problem(
+        (
+            obs_view,
+            obs_track,
+            obs_uv.reshape(O, 2),
+            obs_sqrt_info.reshape(O, 2),
+            obs_mask.reshape(O),
+        ),
+        view_group,
+        jnp.zeros((T,), jnp.int32),
+        jnp.zeros((T, 3), dtype),
+        present_models,
+        group_model_idx,
+        options.track_parametrization_type,
+        options.loss_function_type,
+        options.robust_loss_width,
+        dtype,
+    )
+    cam_free = camera_free.astype(dtype)[:, None]
+    pt_free = point_free.astype(dtype)[:, None]
+
+    r, Jc, _Jr, _Ji, Jp, s = prob.residuals(
+        extrinsics, intrinsics, points, with_jac=True, want_intr_jac=False
+    )
+    Jc = Jc * cam_free[obs_view][:, None, :]
+    Jp = Jp * pt_free[obs_track][:, None, :]
+    Jc_t = Jc.reshape(T, L, 2, 6)
+    Jp_t = Jp.reshape(T, L, 2, 3)
+
+    eye3 = jnp.eye(3, dtype=dtype)
+    Vt = jnp.einsum("tlri,tlrj->tij", Jp_t, Jp_t)
+    Vt = Vt + (1.0 - pt_free)[..., None] * eye3 + 1e-10 * eye3
+    Vinv = inv_small_spd(Vt, 3)
+    W = jnp.einsum("tlri,tlrj->tlij", Jc_t, Jp_t)  # [T,L,6,3]
+    Z = jnp.einsum("tlij,tjk->tlik", W, Vinv)  # [T,L,6,3] = Y_t rows
+
+    oh_flat = _view_onehot(obs_view, V, dtype)
+    Uv = _view_reduce(
+        jnp.einsum("ori,orj->oij", Jc, Jc).reshape(O, 36), oh_flat
+    ).reshape(V, 6, 6)
+
+    eye6 = jnp.eye(6, dtype=dtype)
+    S4 = jnp.zeros((V, 6, V, 6), dtype)
+    ar = jnp.arange(V)
+    S4 = S4.at[ar, :, ar, :].set(
+        Uv + (1.0 - cam_free)[..., None, :] * eye6 + 1e-8 * eye6
+    )
+    place_dims = (((1,), (1,)), ((0,), (0,)))
+    prod_dims = (((0, 3), (0, 3)), ((), ()))
+    TCHUNK = min(T, 4096)
+    for c in range(-(-T // TCHUNK)):
+        lo = c * TCHUNK
+        hi = min(T, lo + TCHUNK)
+        Wx = jax.lax.dot_general(
+            oh_flat.reshape(T, L, V)[lo:hi], W[lo:hi], place_dims,
+            preferred_element_type=dtype,
+        )
+        Zx = jax.lax.dot_general(
+            oh_flat.reshape(T, L, V)[lo:hi], Z[lo:hi], place_dims,
+            preferred_element_type=dtype,
+        )
+        S4 = S4 - jax.lax.dot_general(
+            Zx, Wx, prod_dims, preferred_element_type=dtype
+        )
+    S = S4.reshape(N, N)
+    S = 0.5 * (S + S.T)
+
+    chol = jnp.linalg.cholesky(S)
+    Sinv = jax.scipy.linalg.cho_solve((chol, True), jnp.eye(N, dtype=dtype))
+    Sb = Sinv.reshape(V, 6, V, 6)
+    cam_cov = Sb[ar, :, ar, :]  # [V, 6, 6]
+
+    # Track marginals: V^-1 + sum_{a,b} Z_a^T S^-1[v_a, v_b] Z_b, chunked.
+    def track_chunk(lo, hi):
+        tv = track_views[lo:hi]  # [Tc, L]
+        Sg = Sb[tv[:, :, None], :, tv[:, None, :], :]  # [Tc, L, L, 6, 6]
+        return jnp.einsum(
+            "taki,tabkl,tblj->tij", Z[lo:hi], Sg, Z[lo:hi]
+        )
+    TC2 = min(T, 2048)
+    parts = [
+        track_chunk(c * TC2, min(T, (c + 1) * TC2))
+        for c in range(-(-T // TC2))
+    ]
+    track_cov = Vinv + jnp.concatenate(parts, axis=0)
+
+    cost = jnp.sum(
+        # robust rho already applied inside residuals' weighting; use the
+        # plain squared norm of the weighted residuals for sigma^2.
+        jnp.sum(r * r, axis=-1)
+    )
+    nres = 2.0 * jnp.sum(prob.obs_mask)
+    return cam_cov, track_cov, 0.5 * cost, nres

@@ -465,6 +465,98 @@ def bundle_adjust_track(options, track_id, recon, dtype=np.float32):
     return bundle_adjust_tracks(options, [track_id], recon, dtype)
 
 
+def compute_reconstruction_covariance(
+    options: BundleAdjustmentOptions,
+    recon,
+    constant_views=(),
+    dtype=np.float64,
+):
+    """Joint-problem marginal covariances for every estimated view and
+    track — the general `ceres::Covariance` case on the FULL problem
+    (`bundle_adjuster.cc:660-744`), exact via the dense Schur identities
+    (`ba/dense_schur.joint_covariance_dense`), not the block-diagonal
+    other-group-constant approximation of the `*WithCov` entries.
+
+    `constant_views`: views held constant to fix the gauge (covariance of
+    a gauge-free BA problem is singular — the reference expects the same).
+    Returns ({view_id: [6,6]}, {track_id: [3,3]}, variance_factor).
+    """
+    from .dense_schur import joint_covariance_dense
+
+    view_sel = recon.view_estimated.copy()
+    track_sel = recon.track_estimated.copy()
+    prob = _gather_problem(recon, view_sel, track_sel, dtype)
+    V, T = recon.num_views(), recon.num_tracks()
+    Vp, Tp = _pad_pow2(V, 8), _pad_pow2(T, 64)
+    slot = _slot_layout(prob, Tp, dtype)
+    if slot is None:
+        return {}, {}, 0.0
+    ext = np.zeros((Vp, 6), dtype)
+    ext[:V] = prob["extrinsics"]
+    pts = np.zeros((Tp, 3), dtype)
+    pts[:T] = prob["points"]
+    G = recon.intrinsics.shape[0]
+    P = recon.intrinsics.shape[1]
+    Gp = _pad_pow2(max(G, 1), 4)
+    intr_in = np.zeros((Gp, P), dtype)
+    intr_in[:, 0] = 1.0
+    intr_in[:, 1] = 1.0
+    intr_in[:G] = recon.intrinsics.astype(dtype)
+    view_group = np.zeros((Vp,), np.int32)
+    view_group[:V] = recon.view_group
+    groups_used = {int(g) for g in np.unique(recon.view_group[:V])}
+    present = tuple(sorted({int(recon.group_model[g]) for g in groups_used} or {0}))
+    group_model_idx = np.zeros((Gp,), np.int32)
+    for g in range(G):
+        m = int(recon.group_model[g])
+        group_model_idx[g] = present.index(m) if m in present else 0
+
+    cam_free = np.zeros(Vp, bool)
+    cam_free[:V] = view_sel
+    for v in constant_views:
+        cam_free[v] = False
+    pt_free = np.zeros(Tp, bool)
+    pt_free[:T] = track_sel
+
+    import jax.numpy as jnp
+
+    cam_cov, track_cov, cost, nres = joint_covariance_dense(
+        jnp.asarray(ext),
+        jnp.asarray(intr_in),
+        jnp.asarray(pts),
+        jnp.asarray(view_group),
+        jnp.asarray(group_model_idx),
+        jnp.asarray(slot["track_views"]),
+        jnp.asarray(slot["uv"]),
+        jnp.asarray(slot["info"]),
+        jnp.asarray(slot["mask"]),
+        jnp.asarray(cam_free),
+        jnp.asarray(pt_free),
+        present_models=present,
+        num_views=Vp,
+        num_tracks=Tp,
+        max_track_len=slot["L"],
+        num_groups=Gp,
+        options=options,
+    )
+    cam_cov = np.asarray(cam_cov)
+    track_cov = np.asarray(track_cov)
+    n_params = 6 * int(cam_free[:V].sum()) + 3 * int(pt_free[:T].sum())
+    dof = max(int(nres) - n_params, 1)
+    variance_factor = 2.0 * float(cost) / dof
+    cam_out = {
+        v: cam_cov[v] * variance_factor
+        for v in range(V)
+        if cam_free[v]
+    }
+    track_out = {
+        t: track_cov[t] * variance_factor
+        for t in range(T)
+        if pt_free[t]
+    }
+    return cam_out, track_out, variance_factor
+
+
 def _covariance_blocks(recon, options, dtype):
     """Hessian blocks + empirical variance factor for the current state."""
     import jax.numpy as jnp

@@ -82,3 +82,37 @@ def test_track_covariance():
     for c in covs.values():
         assert c.shape == (3, 3)
         assert np.linalg.eigvalsh(c).min() > 0
+
+
+def test_joint_reconstruction_covariance_entry(rng):
+    """compute_reconstruction_covariance on a small solved scene: SPD
+    blocks for every free view/track, larger point uncertainty for
+    shorter tracks on average."""
+    from pytheiasfm_tpu.ba.entry import compute_reconstruction_covariance
+    from pytheiasfm_tpu.ba.lm import BundleAdjustmentOptions
+    from pytheiasfm_tpu.pipelines.synthetic_global import build_scene
+    from pytheiasfm_tpu.sfm.estimator_options import (
+        ReconstructionEstimatorOptions,
+        ReconstructionEstimatorType,
+    )
+    from pytheiasfm_tpu.sfm.reconstruction_estimator import (
+        create_reconstruction_estimator,
+    )
+
+    recon, graph, _gt = build_scene(V=24, T=800, neighborhood=8, seed=3)
+    options = ReconstructionEstimatorOptions(
+        reconstruction_estimator_type=ReconstructionEstimatorType.GLOBAL
+    )
+    summary = create_reconstruction_estimator(options).estimate(graph, recon)
+    assert summary.success
+    cam_covs, track_covs, vf = compute_reconstruction_covariance(
+        BundleAdjustmentOptions(), recon, constant_views=(0, 1)
+    )
+    assert vf > 0
+    assert len(cam_covs) >= 20 and len(track_covs) >= 500
+    for cov in list(cam_covs.values())[:5]:
+        ev = np.linalg.eigvalsh(cov)
+        assert np.all(ev > 0), ev
+    for cov in list(track_covs.values())[:5]:
+        ev = np.linalg.eigvalsh(cov)
+        assert np.all(ev > 0), ev

@@ -203,3 +203,94 @@ def test_dense_invdepth_rejected(rng):
     )
     with pytest.raises(ValueError):
         _run_dense(p, options)
+
+
+def test_joint_covariance_matches_explicit_inverse(rng):
+    """joint_covariance_dense vs the explicitly assembled (J^T J)^-1."""
+    from pytheiasfm_tpu.ba.dense_schur import joint_covariance_dense
+    from pytheiasfm_tpu.ba.lm import _Problem
+    from pytheiasfm_tpu.ba.losses import LossFunctionType
+    from pytheiasfm_tpu.models.intrinsics import CameraIntrinsicsModelType as M
+
+    p = _make_problem(rng, V=8, T=40, L=4)
+    V, T, L = p["V"], p["T"], p["L"]
+    options = BundleAdjustmentOptions()
+    cam_free = p["cam_free"]  # first 2 frozen -> gauge fixed
+    pt_free = p["pt_free"]
+
+    cam_cov, track_cov, cost, nres = joint_covariance_dense(
+        jnp.asarray(p["ext"]),
+        jnp.asarray(p["intr"]),
+        jnp.asarray(p["pts"]),
+        jnp.asarray(p["view_group"]),
+        jnp.asarray(p["group_model_idx"]),
+        jnp.asarray(p["track_views"]),
+        jnp.asarray(p["uv"].reshape(T, L, 2)),
+        jnp.asarray(p["info"].reshape(T, L, 2)),
+        jnp.asarray(p["mask"].reshape(T, L)),
+        jnp.asarray(cam_free),
+        jnp.asarray(pt_free),
+        present_models=(int(M.PINHOLE),),
+        num_views=V,
+        num_tracks=T,
+        max_track_len=L,
+        num_groups=1,
+        options=options,
+    )
+
+    # Reference: explicit dense J^T J over (free cams, all tracks).
+    prob = _Problem(
+        (
+            jnp.asarray(p["obs_view"]),
+            jnp.asarray(p["obs_track"]),
+            jnp.asarray(p["uv"]),
+            jnp.asarray(p["info"]),
+            jnp.asarray(p["mask"]),
+        ),
+        jnp.asarray(p["view_group"]),
+        jnp.zeros((T,), jnp.int32),
+        jnp.zeros((T, 3)),
+        (int(M.PINHOLE),),
+        jnp.asarray(p["group_model_idx"]),
+        0,
+        LossFunctionType.TRIVIAL,
+        2.0,
+        jnp.float64,
+    )
+    r, Jc, _, _, Jp, _ = prob.residuals(
+        jnp.asarray(p["ext"]), jnp.asarray(p["intr"]), jnp.asarray(p["pts"]),
+        with_jac=True, want_intr_jac=False,
+    )
+    Jc = np.asarray(Jc) * cam_free[p["obs_view"]][:, None, None]
+    Jp = np.asarray(Jp)
+    O = len(p["obs_view"])
+    n = 6 * V + 3 * T
+    J = np.zeros((2 * O, n))
+    for o in range(O):
+        v, t = p["obs_view"][o], p["obs_track"][o]
+        J[2 * o : 2 * o + 2, 6 * v : 6 * v + 6] = Jc[o]
+        J[2 * o : 2 * o + 2, 6 * V + 3 * t : 6 * V + 3 * t + 3] = Jp[o]
+    H = J.T @ J
+    # Same regularization as the kernel (identity on frozen cams + jitter).
+    for v in range(V):
+        if not cam_free[v]:
+            H[6 * v : 6 * v + 6, 6 * v : 6 * v + 6] += np.eye(6)
+    H[: 6 * V, : 6 * V] += 1e-8 * np.eye(6 * V)
+    H[6 * V :, 6 * V :] += 1e-10 * np.eye(3 * T)
+    Hinv = np.linalg.inv(H)
+
+    for v in range(V):
+        if not cam_free[v]:
+            continue
+        np.testing.assert_allclose(
+            np.asarray(cam_cov)[v],
+            Hinv[6 * v : 6 * v + 6, 6 * v : 6 * v + 6],
+            rtol=2e-4, atol=1e-10,
+        )
+    for t in range(0, T, 7):
+        i = 6 * V + 3 * t
+        np.testing.assert_allclose(
+            np.asarray(track_cov)[t],
+            Hinv[i : i + 3, i : i + 3],
+            rtol=2e-4, atol=1e-10,
+        )
