@@ -168,8 +168,10 @@ def build_view_graph(recon, seed=0, min_inliers=30, max_ransac_iterations=256):
     # Fixed chunk geometry: every device call has the SAME (chunk, Np)
     # shape (the final chunk is padded with replicas of pair 0 and
     # discarded), so exactly one program is compiled and reused. The
-    # budget bounds the scored [pairs, hypotheses, N] tensor to ~4 GB.
-    chunk = min(P, max(1, int(1e9 // (2560 * Np))))
+    # budget bounds the scored [pairs, hypotheses, N] tensor to ~1 GB —
+    # a 4 GB budget OOMed the 16 GB chip once RANSAC intermediates
+    # (residuals, sorting) multiplied it.
+    chunk = min(P, max(1, int(2.5e8 // (2560 * Np))))
     n_chunks = -(-P // chunk)
 
     pts1 = np.zeros((n_chunks * chunk, Np, 2))

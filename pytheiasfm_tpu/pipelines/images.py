@@ -58,11 +58,20 @@ def run_images_pipeline(
     min_num_inlier_matches: int = 30,
     use_exif: bool = True,
     seed: int = 0,
+    pair_preselection_neighbors: int | None = None,
 ):
     """Full pipeline over a list of image paths.
 
     Returns (models, stats): reconstructed models (list of Reconstruction)
     and a dict of per-phase timings/counts.
+
+    `pair_preselection_neighbors`: when set, candidate pairs are chosen by
+    a k-NN graph over GLOBAL image descriptors instead of all pairs — the
+    `FeatureExtractorAndMatcher` + GraphMatch orchestration of the
+    reference (`feature_extractor_and_matcher.h:55-138`, `graph_match.h:63`;
+    the reference sources its global descriptors from Python-side CosPlace,
+    `sfm_pipeline_loftr_aqualoc.py:203` — here they are L2-normalized
+    mean-pooled local descriptors, computed on device for free).
     """
     from ..features import SiftParams, detect_and_describe, load_grayscale
     from ..matching.matcher import FeatureMatcher
@@ -111,6 +120,8 @@ def run_images_pipeline(
     builder = ReconstructionBuilder(bopt)
 
     n_feats = []
+    names = []
+    global_descs = []
     for path in image_paths:
         name = str(path).rsplit("/", 1)[-1]
         img = load_grayscale(str(path), max_dim=max_dim)
@@ -120,9 +131,28 @@ def run_images_pipeline(
         prior = _prior_for(str(path), img.shape, exif)
         matcher.add_image(name, kp, desc, intrinsics_prior=prior)
         builder.add_image_with_camera_intrinsics_prior(name, prior)
+        names.append(name)
+        if pair_preselection_neighbors:
+            g = desc.mean(axis=0) if len(desc) else np.zeros(128, np.float32)
+            global_descs.append(g / max(np.linalg.norm(g), 1e-12))
         logger.info("extracted %d features from %s", len(kp), name)
     stats["t_extract_s"] = time.perf_counter() - t0
     stats["features_per_image"] = n_feats
+
+    if pair_preselection_neighbors:
+        from ..matching.graph_match import graph_match
+
+        idx_pairs = graph_match(
+            np.asarray(global_descs), pair_preselection_neighbors
+        )
+        matcher.set_image_pairs_to_match(
+            [(names[i], names[j]) for i, j in idx_pairs]
+        )
+        stats["preselected_pairs"] = len(idx_pairs)
+        logger.info(
+            "pair preselection: %d/%d candidate pairs",
+            len(idx_pairs), len(names) * (len(names) - 1) // 2,
+        )
 
     t0 = time.perf_counter()
     n_pairs = builder.match_features(matcher)

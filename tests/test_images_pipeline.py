@@ -30,7 +30,11 @@ def test_images_to_reconstruction_global():
         estimator_type="global",
         lowes_ratio=0.85,
         min_num_inlier_matches=15,
+        # Exercise the GraphMatch global-descriptor preselection path
+        # (feature_extractor_and_matcher.h:55-138 orchestration).
+        pair_preselection_neighbors=3,
     )
+    assert stats["preselected_pairs"] >= 3, stats
     assert stats["verified_pairs"] >= 2, stats
     assert models, stats
     views = int(np.sum(models[0].view_estimated))

@@ -233,3 +233,18 @@ def test_sprt_decision_threshold_monotonic():
     ok, _ = sequential_probability_ratio_test(good, 0.05, 0.3, A)
     fail, _ = sequential_probability_ratio_test(bad, 0.05, 0.3, A)
     assert bool(ok) and not bool(fail)
+
+
+def test_set_ransac_parameters_forwards_tdd():
+    """Round-2 gap: use_Tdd_test was not forwarded from the top-level
+    options tree (estimator_options.py) into RansacParameters."""
+    from pytheiasfm_tpu.sfm.estimator_options import (
+        ReconstructionEstimatorOptions,
+        set_ransac_parameters,
+    )
+
+    opts = ReconstructionEstimatorOptions(ransac_use_Tdd_test=True)
+    params = set_ransac_parameters(opts)
+    assert params.use_Tdd_test is True
+    params2 = set_ransac_parameters(ReconstructionEstimatorOptions())
+    assert params2.use_Tdd_test is False
