@@ -106,6 +106,7 @@ def bench_ba(obs_per_track=6):
     import jax.numpy as jnp
 
     from pytheiasfm_tpu.ba import BundleAdjustmentOptions, bundle_adjust_dense
+    from pytheiasfm_tpu.ba.dense_schur import _bundle_adjust_dense_impl
     from pytheiasfm_tpu.models.intrinsics import CameraIntrinsicsModelType as M
 
     prob = build_problem(obs_per_track=obs_per_track)
@@ -163,7 +164,16 @@ def bench_ba(obs_per_track=6):
     # for the stated utilization numbers.
     cost = {}
     try:
-        lowered = bundle_adjust_dense.lower(*args, **kw)
+        # Cost model of ONE launch chunk of the jitted kernel (the public
+        # wrapper is a host loop); flops/bytes count the loop body once.
+        import dataclasses as _dc
+
+        chunk_kw = dict(kw)
+        chunk_kw["options"] = _dc.replace(
+            options,
+            max_num_iterations=min(iters, options.max_iterations_per_launch),
+        )
+        lowered = _bundle_adjust_dense_impl.lower(*args, **chunk_kw)
         ca = lowered.compile().cost_analysis()
         if isinstance(ca, (list, tuple)):
             ca = ca[0]

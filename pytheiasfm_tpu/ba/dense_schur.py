@@ -50,6 +50,7 @@ from .lm import (
     _Problem,
     _prior_blocks,
     inv_small_spd,
+    run_launch_chunked,
 )
 
 __all__ = [
@@ -94,7 +95,7 @@ def _view_reduce(values, onehot_flat):
         "mesh",
     ),
 )
-def bundle_adjust_dense(
+def _bundle_adjust_dense_impl(
     extrinsics,  # [V, 6]
     intrinsics,  # [G, P] (constant — frozen-intrinsics specialization)
     points,  # [T, 3] | [T, 4] (manifold)
@@ -114,8 +115,10 @@ def bundle_adjust_dense(
     options: BundleAdjustmentOptions,
     priors=None,
     mesh=None,
+    mu0=None,
 ):
-    """LM to convergence with a dense materialized Schur complement.
+    """ONE LAUNCH of dense-Schur LM (the public `bundle_adjust_dense`
+    wrapper chains launches with damping carried).
 
     Returns (extrinsics, intrinsics, points, summary) like
     `lm.bundle_adjust`. Intrinsics are NOT optimized here (see module doc).
@@ -356,24 +359,81 @@ def bundle_adjust_dense(
         done = accept & (rel_decrease < options.function_tolerance)
         return state, mu_new, cost_next, it + 1, done
 
-    mu0 = jnp.asarray(1.0 / options.initial_trust_region_radius, dtype)
+    mu_init = (
+        jnp.asarray(1.0 / options.initial_trust_region_radius, dtype)
+        if mu0 is None
+        else jnp.asarray(mu0, dtype)
+    )
     carry = (
         state0,
-        mu0,
+        mu_init,
         initial_cost,
         jnp.asarray(0, jnp.int32),
         jnp.asarray(False),
     )
     carry = jax.lax.while_loop(while_cond, while_body, carry)
-    (ext_out, pts_out), _, final_cost, iters, _ = carry
+    (ext_out, pts_out), mu_out, final_cost, iters, _ = carry
 
     summary = BundleAdjustmentSummary(
         success=jnp.isfinite(final_cost) & (final_cost <= initial_cost),
         initial_cost=initial_cost,
         final_cost=final_cost,
         num_iterations=iters,
+        final_mu=mu_out,
     )
     return ext_out, intrinsics, pts_out, summary
+
+
+def bundle_adjust_dense(
+    extrinsics,
+    intrinsics,
+    points,
+    view_group,
+    group_model_idx,
+    track_views,
+    obs_uv,
+    obs_sqrt_info,
+    obs_mask,
+    camera_free,
+    point_free,
+    present_models: tuple,
+    num_views: int,
+    num_tracks: int,
+    max_track_len: int,
+    num_groups: int,
+    options: BundleAdjustmentOptions,
+    priors=None,
+    mesh=None,
+):
+    """LM to convergence with a dense materialized Schur complement
+    (see `_bundle_adjust_dense_impl` for the kernel itself). Launched in
+    `max_iterations_per_launch`-sized chunks with damping carried —
+    long single executions trip runtime watchdogs."""
+
+    def impl(state, chunk_options, mu0):
+        ext, pts = state
+        ext, _q, pts, summary = _bundle_adjust_dense_impl(
+            ext, intrinsics, pts,
+            view_group, group_model_idx,
+            track_views, obs_uv, obs_sqrt_info, obs_mask,
+            camera_free, point_free,
+            present_models=present_models,
+            num_views=num_views,
+            num_tracks=num_tracks,
+            max_track_len=max_track_len,
+            num_groups=num_groups,
+            options=chunk_options,
+            priors=priors,
+            mesh=mesh,
+            mu0=mu0,
+        )
+        return (ext, pts), summary
+
+    state, summary = run_launch_chunked(
+        impl, (extrinsics, points), options
+    )
+    ext, pts = state
+    return ext, intrinsics, pts, summary
 
 
 @partial(

@@ -124,6 +124,13 @@ class BundleAdjustmentOptions:
     linear_solver_tolerance: float = 1e-2
     # LM trust region.
     initial_trust_region_radius: float = 1e4
+    # LM iterations per DEVICE LAUNCH. The whole LM loop is one XLA
+    # program; executions running longer than ~30 s can hit runtime
+    # watchdogs (observed: the TPU worker killed a ~35 s 100-iteration
+    # solve at 2152 cameras). The host wrapper re-launches the kernel in
+    # chunks of this size, carrying damping state — identical math, at
+    # most two compiled variants (full chunk + remainder).
+    max_iterations_per_launch: int = 25
     # What to optimize (mirrors constant_camera_* flags / intrinsics subsets).
     optimize_cameras: bool = True
     optimize_points: bool = True
@@ -145,12 +152,16 @@ class BundleAdjustmentOptions:
 @jax.tree_util.register_dataclass
 @dataclasses.dataclass
 class BundleAdjustmentSummary:
-    """Parity: `theia::BundleAdjustmentSummary` (`bundle_adjustment.h:170`)."""
+    """Parity: `theia::BundleAdjustmentSummary` (`bundle_adjustment.h:170`).
+
+    `final_mu` carries the LM damping across launch chunks (see
+    `BundleAdjustmentOptions.max_iterations_per_launch`)."""
 
     success: jax.Array
     initial_cost: jax.Array
     final_cost: jax.Array
     num_iterations: jax.Array
+    final_mu: jax.Array = None
 
 
 # ---------------------------------------------------------------------------
@@ -540,7 +551,7 @@ def hessian_blocks(
         "options",
     ),
 )
-def bundle_adjust(
+def _bundle_adjust_impl(
     extrinsics,  # [V, 6]
     intrinsics,  # [G, P] per shared intrinsics group
     points,  # [T, 3] | [T, 4] (manifold) | [T, 1] (inverse depth)
@@ -562,8 +573,11 @@ def bundle_adjust(
     num_groups: int,
     options: BundleAdjustmentOptions,
     priors=None,  # optional 9-tuple of per-view prior arrays (see _prior_residual)
+    mu0=None,  # optional traced LM damping carried across launches
 ):
-    """Run LM to convergence. Returns (extrinsics, intrinsics, points, summary)."""
+    """One LAUNCH of the LM loop (up to options.max_num_iterations
+    iterations). Returns (extrinsics, intrinsics, points, summary); the
+    public `bundle_adjust` wrapper chains launches."""
     dtype = extrinsics.dtype
     V, T, G = num_views, num_tracks, num_groups
     P = intrinsics.shape[1]
@@ -821,21 +835,118 @@ def bundle_adjust(
         done = accept & (rel_decrease < options.function_tolerance)
         return state, mu_new, cost_next, it + 1, done
 
-    mu0 = jnp.asarray(1.0 / options.initial_trust_region_radius, dtype)
+    mu_init = (
+        jnp.asarray(1.0 / options.initial_trust_region_radius, dtype)
+        if mu0 is None
+        else jnp.asarray(mu0, dtype)
+    )
     carry = (
         state0,
-        mu0,
+        mu_init,
         initial_cost,
         jnp.asarray(0, jnp.int32),
         jnp.asarray(False),
     )
     carry = jax.lax.while_loop(while_cond, while_body, carry)
-    (ext_out, intr_out, pts_out), _, final_cost, iters, _ = carry
+    (ext_out, intr_out, pts_out), mu_out, final_cost, iters, _ = carry
 
     summary = BundleAdjustmentSummary(
         success=jnp.isfinite(final_cost) & (final_cost <= initial_cost),
         initial_cost=initial_cost,
         final_cost=final_cost,
         num_iterations=iters,
+        final_mu=mu_out,
     )
     return ext_out, intr_out, pts_out, summary
+
+
+def run_launch_chunked(impl, state, options: BundleAdjustmentOptions):
+    """Drive an LM kernel launch-by-launch (see
+    `BundleAdjustmentOptions.max_iterations_per_launch`): `impl(state,
+    chunk_options, mu0)` runs ONE launch and returns (state, summary);
+    damping (`summary.final_mu`) carries across launches; a launch that
+    stops before its budget means convergence. At most two program
+    variants compile (full chunk + remainder)."""
+    import dataclasses as _dc
+
+    total = options.max_num_iterations
+    cap = max(int(options.max_iterations_per_launch), 1)
+    done = 0
+    mu = None
+    first_initial = None
+    summary = None
+    while done < total:
+        chunk = min(cap, total - done)
+        chunk_options = _dc.replace(options, max_num_iterations=chunk)
+        state, summary = impl(state, chunk_options, mu)
+        n = int(summary.num_iterations)
+        done += n
+        mu = summary.final_mu
+        if first_initial is None:
+            first_initial = summary.initial_cost
+        if n < chunk:
+            break  # converged (or immediately rejected) inside the launch
+    summary = BundleAdjustmentSummary(
+        success=jnp.isfinite(summary.final_cost)
+        & (summary.final_cost <= first_initial),
+        initial_cost=first_initial,
+        final_cost=summary.final_cost,
+        num_iterations=jnp.asarray(done, jnp.int32),
+        final_mu=summary.final_mu,
+    )
+    return state, summary
+
+
+def bundle_adjust(
+    extrinsics,
+    intrinsics,
+    points,
+    view_group,
+    group_model_idx,
+    obs_view,
+    obs_track,
+    obs_uv,
+    obs_sqrt_info,
+    obs_mask,
+    camera_free,
+    point_free,
+    intrinsics_free,
+    track_ref_view,
+    track_bearing,
+    present_models: tuple,
+    num_views: int,
+    num_tracks: int,
+    num_groups: int,
+    options: BundleAdjustmentOptions,
+    priors=None,
+):
+    """Run LM to convergence (implicit-Schur PCG kernel). Returns
+    (extrinsics, intrinsics, points, summary).
+
+    The device kernel is launched in `max_iterations_per_launch`-sized
+    chunks with damping carried across launches — long single executions
+    trip runtime watchdogs (module doc of `_bundle_adjust_impl`)."""
+
+    def impl(state, chunk_options, mu0):
+        ext, q, pts = state
+        ext, q, pts, summary = _bundle_adjust_impl(
+            ext, q, pts,
+            view_group, group_model_idx,
+            obs_view, obs_track, obs_uv, obs_sqrt_info, obs_mask,
+            camera_free, point_free, intrinsics_free,
+            track_ref_view, track_bearing,
+            present_models=present_models,
+            num_views=num_views,
+            num_tracks=num_tracks,
+            num_groups=num_groups,
+            options=chunk_options,
+            priors=priors,
+            mu0=mu0,
+        )
+        return (ext, q, pts), summary
+
+    state, summary = run_launch_chunked(
+        impl, (extrinsics, intrinsics, points), options
+    )
+    ext, q, pts = state
+    return ext, q, pts, summary

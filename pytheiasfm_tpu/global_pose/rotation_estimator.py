@@ -158,7 +158,7 @@ def robust_rotation_averaging(
     # XLA keeps ONE copy live across the whole scan. Above ~256 MB
     # (Trafalgar-scale graphs) fall back to the scatter form.
     E = edge_i.shape[0]
-    use_dense = E * num_views <= 64_000_000
+    use_dense = E * num_views <= 134_000_000
     if use_dense:
         ar = jnp.arange(num_views, dtype=edge_i.dtype)
         D = (edge_j[:, None] == ar[None, :]).astype(dtype) - (
@@ -340,7 +340,7 @@ def nonlinear_rotation_averaging(
     fm = free_mask.astype(dtype)[:, None]
     # Dense signed incidence (see robust_rotation_averaging): CG matvecs
     # as matmuls instead of scatters; scatter fallback above ~256 MB.
-    use_dense = edge_i.shape[0] * num_views <= 64_000_000
+    use_dense = edge_i.shape[0] * num_views <= 134_000_000
     if use_dense:
         ar = jnp.arange(num_views, dtype=edge_i.dtype)
         D = (edge_j[:, None] == ar[None, :]).astype(dtype) - (

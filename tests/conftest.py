@@ -31,3 +31,17 @@ import pytest  # noqa: E402
 @pytest.fixture
 def rng():
     return np.random.default_rng(42)
+
+
+@pytest.fixture(autouse=True, scope="module")
+def _clear_jax_caches_between_modules():
+    """Drop compiled executables between test modules.
+
+    With 250+ tests in one process the CPU XLA compiler segfaulted
+    deterministically around test ~195 (inside backend_compile_and_load;
+    host RAM was fine) — accumulated compilation state. Each module's
+    kernels are mostly disjoint, so clearing between modules costs little
+    and keeps the compiler state bounded.
+    """
+    yield
+    jax.clear_caches()
