@@ -46,6 +46,16 @@ def _pad_pow2(n: int, floor: int = 16) -> int:
     return p
 
 
+def _pad_bucket(n: int, floor: int = 16) -> int:
+    """Shape bucket: pow2 up to 64k, then multiples of 64k. Pure pow2
+    wastes up to 2x work on big observation tables (600k obs -> 1M rows
+    was ~1.7x extra BA wall-clock at Piccadilly scale); 64k steps keep
+    the jit-cache hit rate while bounding padding waste at ~10%."""
+    if n <= 65536:
+        return _pad_pow2(n, floor)
+    return -(-n // 65536) * 65536
+
+
 def _gather_problem(recon, view_sel, track_sel, dtype):
     """Build the padded flat BA problem from the host container.
 
@@ -56,7 +66,7 @@ def _gather_problem(recon, view_sel, track_sel, dtype):
     ov, ot = recon.obs_view, recon.obs_track
     rows = np.where(view_sel[ov] & track_sel[ot])[0]
     O = len(rows)
-    Opad = _pad_pow2(max(O, 1))
+    Opad = _pad_bucket(max(O, 1))
 
     # Camera models present among participating groups; the kernel
     # dispatches per observation via the group's index into this tuple.

@@ -120,8 +120,11 @@ class BundleAdjustmentOptions:
     # parity: `use_mixed_precision_solves` (`bundle_adjustment.h:111`).
     use_mixed_precision_solves: bool = False
     # Implicit-Schur PCG controls (ITERATIVE_SCHUR + SCHUR_JACOBI).
+    # Tolerance matches Ceres's ITERATIVE_SCHUR default forcing tolerance
+    # eta = 0.1 (the reference never overrides it); LM absorbs the inexact
+    # steps, and a tighter 1e-2 setting doubled PCG trips for no ATE gain.
     linear_solver_iterations: int = 40
-    linear_solver_tolerance: float = 1e-2
+    linear_solver_tolerance: float = 0.1
     # LM trust region.
     initial_trust_region_radius: float = 1e4
     # LM iterations per DEVICE LAUNCH. The whole LM loop is one XLA

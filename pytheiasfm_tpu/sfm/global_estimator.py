@@ -332,7 +332,10 @@ class GlobalReconstructionEstimator:
         ba_options = set_bundle_adjustment_options(
             opt, num_estimated_views(recon)
         )
+        import time as _time
+
         for it in range(opt.num_retriangulation_iterations + 1):
+            _t0 = _time.perf_counter()
             if opt.subsample_tracks_for_bundle_adjustment:
                 tracks = select_good_tracks_for_bundle_adjustment(
                     recon,
@@ -355,12 +358,18 @@ class GlobalReconstructionEstimator:
             else:
                 bundle_adjust_reconstruction(ba_options, recon)
 
+            _t1 = _time.perf_counter()
             num_outliers = set_outlier_tracks_to_unestimated(
                 recon,
                 opt.max_reprojection_error_in_pixels,
                 opt.min_triangulation_angle_degrees,
             )
             set_underconstrained_tracks_to_unestimated(recon)
+            _t2 = _time.perf_counter()
+            logger.info(
+                "BA round %d: solve %.2fs, outlier filter %.2fs (%d outliers)",
+                it, _t1 - _t0, _t2 - _t1, num_outliers,
+            )
             if it == opt.num_retriangulation_iterations or num_outliers == 0:
                 break
             # Retriangulate the dropped tracks.
@@ -368,3 +377,7 @@ class GlobalReconstructionEstimator:
                 t for t in range(recon.num_tracks()) if not recon.track_estimated[t]
             ]
             self._estimate_structure(recon, unest)
+            logger.info(
+                "BA round %d: retriangulated %d tracks in %.2fs",
+                it, len(unest), _time.perf_counter() - _t2,
+            )
