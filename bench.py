@@ -141,24 +141,41 @@ def bench_ba(obs_per_track=6):
         options=options,
     )
 
-    def run():
-        ext, q, pts, summary = bundle_adjust_dense(*args, **kw)
+    def run(opts):
+        ext, q, pts, summary = bundle_adjust_dense(
+            *args, **{**kw, "options": opts}
+        )
         return ext, pts, summary
 
-    # Warm-up (compile). Timing uses HOST FETCHES, not block_until_ready:
-    # through the axon tunnel block_until_ready does not reliably force
-    # queued work, a fetch does (the transferred arrays are <1 MB, noise
-    # next to the multi-second solve).
-    out = run()
-    np.asarray(out[0])
-    np.asarray(out[1])
+    def timed(opts):
+        # Warm-up (compile), then time. Timing uses HOST FETCHES, not
+        # block_until_ready: through the axon tunnel block_until_ready
+        # does not reliably force queued work, a fetch does (the
+        # transferred arrays are <1 MB, noise next to the solve).
+        out = run(opts)
+        np.asarray(out[0])
+        np.asarray(out[1])
+        t0 = time.perf_counter()
+        out = run(opts)
+        np.asarray(out[0])
+        np.asarray(out[1])
+        return time.perf_counter() - t0, out[2]
 
-    t0 = time.perf_counter()
-    out = run()
-    np.asarray(out[0])
-    np.asarray(out[1])
-    elapsed = time.perf_counter() - t0
-    summary = out[2]
+    elapsed, summary = timed(options)
+    # bf16 Schur-product variant (use_mixed_precision_solves,
+    # bundle_adjustment.h:111 parity).
+    import dataclasses as _dc
+
+    try:
+        mixed_elapsed, mixed_summary = timed(
+            _dc.replace(options, use_mixed_precision_solves=True)
+        )
+        mixed = {
+            "elapsed": mixed_elapsed,
+            "final_cost": float(mixed_summary.final_cost),
+        }
+    except Exception:
+        mixed = None
 
     # Compiler cost model for the whole 30-iteration LM program — the basis
     # for the stated utilization numbers.
@@ -184,7 +201,7 @@ def bench_ba(obs_per_track=6):
             }
     except Exception:
         pass
-    return elapsed, iters, summary, cost
+    return elapsed, iters, summary, cost, mixed
 
 
 def bench_matching(n_desc=4096, dim=128, pairs=8, reps=20):
@@ -304,7 +321,7 @@ def main():
     from pytheiasfm_tpu.utils.cache import enable_persistent_cache
 
     enable_persistent_cache()
-    elapsed, iters, summary, cost = bench_ba()
+    elapsed, iters, summary, cost, mixed = bench_ba()
     match = bench_matching()
     try:
         fount = bench_fountain()
@@ -378,6 +395,12 @@ def main():
         )
         result["global_median_pos_err_m"] = round(gp["median_pos_err"], 4)
         result["global_views"] = f"{gp['views']}/{gp['views_total']}"
+    if mixed is not None:
+        result["ba_mixed_precision_wallclock"] = round(mixed["elapsed"], 4)
+        result["ba_mixed_precision_vs_baseline"] = round(
+            baseline_s / mixed["elapsed"], 2
+        )
+        result["ba_mixed_precision_final_cost"] = mixed["final_cost"]
     if cost:
         # Utilization vs TPU v5e peaks (197 TFLOP/s bf16 MXU, ~819 GB/s
         # HBM) from the compiler's cost model. XLA counts the LM
