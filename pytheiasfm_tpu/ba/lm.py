@@ -872,6 +872,17 @@ def run_launch_chunked(impl, state, options: BundleAdjustmentOptions):
     variants compile (full chunk + remainder)."""
     import dataclasses as _dc
 
+    import jax.core as _core
+
+    tracing = any(
+        isinstance(x, _core.Tracer) for x in jax.tree_util.tree_leaves(state)
+    )
+    if tracing:
+        # Called under an outer jit (e.g. a sharded training step): host
+        # chunking is impossible — run the whole budget as one launch and
+        # let the caller own the execution-length tradeoff.
+        return impl(state, options, None)
+
     total = options.max_num_iterations
     cap = max(int(options.max_iterations_per_launch), 1)
     done = 0
