@@ -17,6 +17,7 @@ from __future__ import annotations
 import numpy as np
 
 from .dense_schur import DENSE_SCHUR_MAX_CAMERAS, bundle_adjust_dense
+from .iterative_schur import bundle_adjust_iterative
 from .lm import (
     BundleAdjustmentOptions,
     BundleAdjustmentSummary,
@@ -54,6 +55,15 @@ def _pad_bucket(n: int, floor: int = 16) -> int:
     if n <= 65536:
         return _pad_pow2(n, floor)
     return -(-n // 65536) * 65536
+
+
+def _pad_soft(n: int, floor: int, pow2_until: int, step: int) -> int:
+    """Pow2 buckets while small (jit-cache reuse as the scene grows),
+    fixed steps once large (pow2 waste on the track/view axes multiplies
+    every slot-layout cost — 100k tracks -> 131k was 31% extra BA work)."""
+    if n <= pow2_until:
+        return _pad_pow2(n, floor)
+    return -(-n // step) * step
 
 
 def _gather_problem(recon, view_sel, track_sel, dtype):
@@ -120,7 +130,7 @@ def _slot_layout(prob, num_tracks: int, dtype):
     rows = rows[order]
     ot = ot[order]
     counts = np.bincount(ot, minlength=num_tracks)
-    L = _pad_pow2(max(int(counts.max()), 1), 4)
+    L = _pad_soft(max(int(counts.max()), 1), 4, 4, 2)
     starts = np.zeros(num_tracks + 1, np.int64)
     np.cumsum(counts, out=starts[1:])
     pos = np.arange(len(rows)) - starts[ot]
@@ -133,6 +143,49 @@ def _slot_layout(prob, num_tracks: int, dtype):
     info[ot, pos] = prob["obs_sqrt_info"][rows]
     mask[ot, pos] = True
     return dict(track_views=track_views, uv=uv, info=info, mask=mask, L=L)
+
+
+def _rowchunk_layout(slot, num_views: int):
+    """Build the view-rowchunk layout (`ba/iterative_schur.py` module doc)
+    from the track-slot layout: observations sorted by view, split into
+    rows of up to C per view, each row slot indexing back into the flat
+    [T*L] track layout. C is chosen from pow2 candidates to minimize
+    padded slots; R pads to a pow2 bucket for jit-cache reuse."""
+    mask = slot["mask"]
+    tv = slot["track_views"]
+    flat = np.nonzero(mask.reshape(-1))[0]
+    if len(flat) == 0:
+        return None
+    v_of = tv.reshape(-1)[flat]
+    order = np.argsort(v_of, kind="stable")
+    flat = flat[order]
+    v_sorted = v_of[order]
+    counts = np.bincount(v_sorted, minlength=num_views)
+    best = None
+    for cand in (64, 128, 256, 512, 1024):
+        padded = int(np.sum(-(-counts // cand)) * cand)
+        if best is None or padded < best[1]:
+            best = (cand, padded)
+    C = best[0]
+    rows_per_view = -(-counts // C)
+    R = int(rows_per_view.sum())
+    Rp = _pad_soft(max(R, 1), 16, 2048, 512)
+    row_view = np.zeros((Rp,), np.int32)
+    rc_src = np.zeros((Rp, C), np.int32)
+    rc_mask = np.zeros((Rp, C), bool)
+    row_base = np.zeros(num_views + 1, np.int64)
+    np.cumsum(rows_per_view, out=row_base[1:])
+    starts = np.zeros(num_views + 1, np.int64)
+    np.cumsum(counts, out=starts[1:])
+    p = np.arange(len(flat)) - starts[v_sorted]
+    row_id = row_base[v_sorted] + p // C
+    col = p % C
+    rc_src[row_id, col] = flat
+    rc_mask[row_id, col] = True
+    row_view[:R] = np.repeat(
+        np.arange(num_views, dtype=np.int32), rows_per_view
+    )
+    return dict(row_view=row_view, rc_src=rc_src, rc_mask=rc_mask, R=Rp, C=C)
 
 
 def _rodrigues_np(aa, pts):
@@ -167,7 +220,9 @@ def _run(
     V, T = recon.num_views(), recon.num_tracks()
     G = recon.intrinsics.shape[0]
     P = recon.intrinsics.shape[1]
-    Vp, Tp, Gp = _pad_pow2(V, 8), _pad_pow2(T, 64), _pad_pow2(max(G, 1), 4)
+    Vp = _pad_soft(V, 8, 512, 256)
+    Tp = _pad_soft(T, 64, 16384, 8192)
+    Gp = _pad_pow2(max(G, 1), 4)
     ext_in = np.zeros((Vp, 6), dtype)
     ext_in[:V] = prob["extrinsics"]
 
@@ -315,26 +370,37 @@ def _run(
 
     # Solver dispatch (reference parity: Ceres SPARSE_SCHUR below
     # min_cameras_for_iterative_solver=1000, ITERATIVE_SCHUR above —
-    # `reconstruction_estimator_options.h:291-300`). The dense MXU kernel
-    # handles the small/medium case; free intrinsics, INVERSE_DEPTH, and
-    # very long tracks stay on the implicit-PCG kernel.
+    # `reconstruction_estimator_options.h:291-300`):
+    #   dense MXU Schur      — frozen intrinsics, V <= 1024, short tracks
+    #   rowchunk iterative   — everything else slot-layout-able, incl.
+    #                          free intrinsics and V > 1024
+    #   flat implicit PCG    — INVERSE_DEPTH or degenerate slot layouts
     slot = None
+    rowchunk = None
+    if tp != TrackParametrizationType.INVERSE_DEPTH:
+        slot = _slot_layout(prob, Tp, dtype)
     want_dense = options.linear_solver_type in (
         LinearSolverType.AUTO,
         LinearSolverType.DENSE_SCHUR,
     )
     if options.linear_solver_type == LinearSolverType.AUTO:
         want_dense = want_dense and Vp <= DENSE_SCHUR_MAX_CAMERAS
-    if (
+    use_dense = (
         want_dense
         and not flags
-        and tp != TrackParametrizationType.INVERSE_DEPTH
-    ):
-        slot = _slot_layout(prob, Tp, dtype)
-        if slot is not None and slot["L"] > 32:
-            slot = None  # padding would explode; implicit path scales better
+        and slot is not None
+        and slot["L"] <= 32  # dense slot padding would explode past this
+    )
+    if slot is not None and not use_dense:
+        # Rowchunk kernel unless slot padding dwarfs the real problem
+        # (one pathologically long track inflates every track's row).
+        O_real = int(np.sum(prob["obs_mask"]))
+        if Tp * slot["L"] <= max(4 * O_real, 1 << 16):
+            rowchunk = _rowchunk_layout(slot, Vp)
+        if rowchunk is None:
+            slot = None
 
-    if slot is not None:
+    if use_dense:
         ext, intr_out, pts, summary = bundle_adjust_dense(
             jnp.asarray(ext_in),
             jnp.asarray(intr_in),
@@ -351,6 +417,33 @@ def _run(
             num_views=Vp,
             num_tracks=Tp,
             max_track_len=slot["L"],
+            num_groups=Gp,
+            options=options,
+            priors=priors,
+        )
+    elif rowchunk is not None:
+        ext, intr_out, pts, summary = bundle_adjust_iterative(
+            jnp.asarray(ext_in),
+            jnp.asarray(intr_in),
+            jnp.asarray(pts_in),
+            jnp.asarray(view_group),
+            jnp.asarray(group_model_idx),
+            jnp.asarray(slot["track_views"]),
+            jnp.asarray(slot["uv"]),
+            jnp.asarray(slot["info"]),
+            jnp.asarray(slot["mask"]),
+            jnp.asarray(rowchunk["row_view"]),
+            jnp.asarray(rowchunk["rc_src"]),
+            jnp.asarray(rowchunk["rc_mask"]),
+            jnp.asarray(cam_free_p),
+            jnp.asarray(pt_free_p),
+            jnp.asarray(intr_free),
+            present_models=present,
+            num_views=Vp,
+            num_tracks=Tp,
+            max_track_len=slot["L"],
+            num_rows=rowchunk["R"],
+            row_chunk=rowchunk["C"],
             num_groups=Gp,
             options=options,
             priors=priors,

@@ -1,0 +1,561 @@
+"""Iterative-Schur LM bundle adjustment in dual slot layouts — the
+large-problem path (the reference's ITERATIVE_SCHUR + SCHUR_JACOBI
+configuration, `reconstruction_estimator_options.h:291-300`, selected above
+`min_cameras_for_iterative_solver` = 1000 cameras).
+
+The round-2/3 implicit kernel (`ba/lm.py`) expressed every reduction as
+`segment_sum` over the flat observation table; on TPU those lower to
+scatters (~100 ns/row), which made Piccadilly-scale BA (2152 cameras,
+~600k observations) SLOWER than the 2016 Ceres CPU baseline. This kernel
+applies the dense-Schur playbook (`ba/dense_schur.py`) to the iterative
+case: NO scatter anywhere. Observations live in TWO layouts at once:
+
+  track-slot   [T, L]   (L = max track length) — point-side reductions
+               (V_t = Jp^T Jp, bp, back-substitution) are dense sums over
+               the slot axis; also where residuals/Jacobians are built.
+  view-rowchunk [R, C]  — each row holds up to C observations of ONE view
+               (views with more observations span several rows), with
+               `rc_src` indexing back into the flat [T*L] track layout.
+               Camera-side adjoints (Jc^T y) are a GATHER into this layout,
+               a dense sum over C, and a one-hot [V, R] matmul — data
+               movement as MXU work, never scatter.
+
+Per PCG iteration the Schur matvec S x = Jc^T (y - Jp V^-1 Jp^T y) + mu D x
+is: one gather of x to slots, four dense einsums, one gather of the
+residual vector into rowchunks, one dense adjoint einsum, one one-hot
+matmul. Everything is HBM-bandwidth bound at ~(|Jc| + |Jp|) bytes per
+matvec — the speed-of-light for an implicit Schur operator.
+
+Unlike the dense kernel this path also supports FREE INTRINSICS
+(`OptimizeIntrinsicsType` subsets — the reference's default optimizes
+focal length + radial distortion, `reconstruction_estimator_options.h:281-284`):
+shared-group intrinsics join the PCG state as a [G, P] block with its own
+Schur-Jacobi preconditioner, exactly Ceres's treatment of the shared
+intrinsics parameter block (`bundle_adjuster.cc:315-341`).
+
+Supports XYZW and XYZW_MANIFOLD track parametrizations, per-DOF camera
+freezing, view priors, and bf16 matvec operands under
+`use_mixed_precision_solves` (`bundle_adjustment.h:111`). INVERSE_DEPTH
+routes to `lm.py` (its reference-view coupling breaks the track-local
+point elimination).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+from .lm import (
+    BundleAdjustmentOptions,
+    BundleAdjustmentSummary,
+    OptimizeIntrinsicsType,
+    TrackParametrizationType,
+    _Problem,
+    _prior_blocks,
+    inv_small_spd,
+    run_launch_chunked,
+)
+
+__all__ = ["bundle_adjust_iterative"]
+
+
+def _onehot(ids, n, dtype):
+    """[n, len(ids)] one-hot reduction basis (rows = targets)."""
+    return (ids[None, :] == jnp.arange(n, dtype=ids.dtype)[:, None]).astype(
+        dtype
+    )
+
+
+# Batched small matrix products as explicit broadcast-FMA sums. XLA's TPU
+# lowering of [BIG, tiny, tiny] einsums runs at ~20-40 GB/s (batched-gemm
+# path with ~5% lane utilization); unrolling the tiny contraction into
+# broadcasts compiles to fused full-lane elementwise ops — measured 2-3.5x
+# faster at Piccadilly scale (600k observations).
+
+
+def _atb(a, b):
+    """einsum('...ri,...rx->...ix') with tiny r."""
+    r = a.shape[-2]
+    return sum(a[..., k, :, None] * b[..., k, None, :] for k in range(r))
+
+
+def _ab(a, b):
+    """einsum('...ij,...jk->...ik') with tiny j."""
+    j = a.shape[-1]
+    return sum(a[..., :, k, None] * b[..., None, k, :] for k in range(j))
+
+
+def _abt(a, b):
+    """einsum('...ik,...jk->...ij') with tiny k."""
+    k = a.shape[-1]
+    return sum(a[..., :, None, c] * b[..., None, :, c] for c in range(k))
+
+
+def _av(a, x):
+    """einsum('...ij,...j->...i') with tiny j."""
+    return jnp.sum(a * x[..., None, :], axis=-1)
+
+
+@partial(
+    jax.jit,
+    static_argnames=(
+        "present_models",
+        "num_views",
+        "num_tracks",
+        "max_track_len",
+        "num_rows",
+        "row_chunk",
+        "num_groups",
+        "options",
+    ),
+)
+def _bundle_adjust_iterative_impl(
+    extrinsics,  # [V, 6]
+    intrinsics,  # [G, P]
+    points,  # [T, 3] | [T, 4] (manifold)
+    view_group,  # [V] int32
+    group_model_idx,  # [G] int32
+    track_views,  # [T, L] int32
+    obs_uv,  # [T, L, 2]
+    obs_sqrt_info,  # [T, L, 2]
+    obs_mask,  # [T, L] bool
+    row_view,  # [R] int32 — view of each rowchunk
+    rc_src,  # [R, C] int32 — flat [T*L] index of each row slot
+    rc_mask,  # [R, C] bool
+    camera_free,  # [V] or [V, 6] bool
+    point_free,  # [T] bool
+    intrinsics_free,  # [G, P] bool
+    present_models: tuple,
+    num_views: int,
+    num_tracks: int,
+    max_track_len: int,
+    num_rows: int,
+    row_chunk: int,
+    num_groups: int,
+    options: BundleAdjustmentOptions,
+    priors=None,
+    mu0=None,
+):
+    """ONE LAUNCH of rowchunk iterative-Schur LM. Returns
+    (extrinsics, intrinsics, points, summary)."""
+    dtype = extrinsics.dtype
+    V, T, L, G = num_views, num_tracks, max_track_len, num_groups
+    R, C = num_rows, row_chunk
+    O = T * L
+    P = intrinsics.shape[1]
+    mixed = options.use_mixed_precision_solves
+    mm = jnp.bfloat16 if mixed else dtype
+
+    obs_view = track_views.reshape(O)
+    obs_track = jnp.repeat(
+        jnp.arange(T, dtype=jnp.int32), L, total_repeat_length=O
+    )
+    prob = _Problem(
+        (
+            obs_view,
+            obs_track,
+            obs_uv.reshape(O, 2),
+            obs_sqrt_info.reshape(O, 2),
+            obs_mask.reshape(O),
+        ),
+        view_group,
+        jnp.zeros((T,), jnp.int32),
+        jnp.zeros((T, 3), dtype),
+        present_models,
+        group_model_idx,
+        options.track_parametrization_type,
+        options.loss_function_type,
+        options.robust_loss_width,
+        dtype,
+    )
+    if prob.invdepth:
+        raise ValueError(
+            "bundle_adjust_iterative does not support INVERSE_DEPTH; "
+            "use lm.bundle_adjust"
+        )
+    K = prob.K
+    has_intr = options.intrinsics_to_optimize != OptimizeIntrinsicsType.NONE
+
+    if camera_free.ndim == 1:
+        camera_free = camera_free[..., None]
+    cam_free = (camera_free & options.optimize_cameras).astype(dtype)
+    cam_free = jnp.broadcast_to(cam_free, (V, 6))
+    pt_free = (point_free & options.optimize_points)[..., None].astype(dtype)
+    intr_free = intrinsics_free.astype(dtype)
+
+    # Loop-invariant bases and index maps (XLA hoists them).
+    row_oh = _onehot(row_view, V, dtype)  # [V, R]
+    group_oh = _onehot(view_group, G, dtype)  # [G, V]
+    group_slot = view_group[track_views]  # [T, L]
+    rc_m = rc_mask.astype(dtype)
+
+    def rows_to_views(vals_r):  # [R, F] -> [V, F]
+        return jnp.einsum(
+            "vr,rf->vf", row_oh, vals_r, preferred_element_type=dtype
+        )
+
+    def views_to_groups(vals_v):  # [V, F] -> [G, F]
+        return jnp.einsum(
+            "gv,vf->gf", group_oh, vals_v, preferred_element_type=dtype
+        )
+
+    def cost_of(state):
+        ext, q, pts = state
+        c = prob.cost(ext, q, pts)
+        if priors is not None:
+            r_pr, _ = _prior_blocks(ext, priors, dtype)
+            c = c + 0.5 * jnp.sum(r_pr * r_pr)
+        return c
+
+    eyeK = jnp.eye(K, dtype=dtype)
+    eye6 = jnp.eye(6, dtype=dtype)
+    eyeP = jnp.eye(P, dtype=dtype)
+
+    def lm_step(state, mu):
+        ext_c, intr_c, pts_c = state
+        r, Jc, _Jr, Ji, Jp, _ = prob.residuals(
+            ext_c, intr_c, pts_c, with_jac=True, want_intr_jac=has_intr
+        )
+        Jc = Jc * cam_free[obs_view][:, None, :]
+        Jp = Jp * pt_free[obs_track][:, None, :]
+        if has_intr:
+            Ji = Ji * intr_free[prob.obs_group][:, None, :]
+
+        Jc_t = Jc.reshape(T, L, 2, 6)
+        Jp_t = Jp.reshape(T, L, 2, K)
+        r_t = r.reshape(T, L, 2)
+        if has_intr:
+            Ji_t = Ji.reshape(T, L, 2, P)
+
+        if priors is not None:
+            r_pr, J_pr = _prior_blocks(ext_c, priors, dtype)
+            J_pr = J_pr * cam_free[:, None, :]
+        else:
+            r_pr = J_pr = None
+
+        # ---- fused block products ----
+        # Every J^T-something product shares the pattern einsum(Jx, X);
+        # batching the right-hand operands into ONE X fuses what would be
+        # 6-10 separate [O, small, small] einsums (measured ~5 ms each at
+        # Piccadilly scale — the einsum COUNT, not FLOPs, dominates) into
+        # 2-3 launches.
+        #   X = [Jc | Jp | r (| Ji)]  ->  Jc^T X = [U | W | a (| .)]
+        #                                 Jp^T X-part = [Vt | bp]
+        #                                 Ji^T X = [. | Wi | ai | Ug]
+        ops = [Jc_t, Jp_t, r_t[..., None]]
+        if has_intr:
+            ops.append(Ji_t)
+        X = jnp.concatenate(ops, axis=-1)  # [T,L,2, 6+K+1(+P)]
+        JcX = _atb(Jc_t, X)
+        U_slot = JcX[..., :6]  # [T,L,6,6]
+        W = JcX[..., 6 : 6 + K]  # [T,L,6,K]
+        a_slot = JcX[..., 6 + K]  # [T,L,6]
+        d_slot = jnp.einsum("tlii->tli", U_slot)
+        # Point blocks are track-local: sum the slot axis directly.
+        JpZ = jnp.sum(
+            _atb(Jp_t, X[..., 6 : 6 + K + 1]), axis=1
+        )  # [T,K,K+1]
+        Vt = JpZ[..., :K]
+        bp = -JpZ[..., K]
+        diagVt = jnp.einsum("tii->ti", Vt)
+        Vt_d = (
+            Vt
+            + mu * (eyeK * jnp.maximum(diagVt, 1e-6)[..., None, :])
+            + 1e-10 * eyeK
+        )
+        Vinv = inv_small_spd(Vt_d, K)
+        u0 = _av(Vinv, bp)  # [T, K]
+
+        Y = _ab(W, Vinv[:, None])  # [T,L,6,K]
+        M_slot = (U_slot - _abt(Y, W)).reshape(T, L, 36)
+        w0_slot = _av(Y, bp[:, None])
+        packs = [M_slot, a_slot, d_slot, w0_slot]
+        if has_intr:
+            JiX = _atb(Ji_t, X[..., 6:])
+            Wi = JiX[..., :K]  # [T,L,P,K]
+            ai_slot = JiX[..., K]  # [T,L,P]
+            Ug_slot = JiX[..., K + 1 :]  # [T,L,P,P]
+            di_slot = jnp.einsum("tlii->tli", Ug_slot)
+            Yi = _ab(Wi, Vinv[:, None])
+            Mg_slot = (Ug_slot - _abt(Yi, Wi)).reshape(T, L, P * P)
+            wi0_slot = _av(Yi, bp[:, None])
+            packs += [Mg_slot, ai_slot, di_slot, wi0_slot]
+        pack = jnp.concatenate(packs, axis=-1)
+        F = pack.shape[-1]
+        # Pad the packed row to a 64-float boundary: TPU row gathers run
+        # ~4.5x faster on 256-byte-aligned rows (measured 15 ms vs 70 ms
+        # for a [1M, 54] f32 gather on v5e).
+        Fpad = -(-F // 64) * 64
+        if Fpad != F:
+            pack = jnp.pad(pack, ((0, 0), (0, 0), (0, Fpad - F)))
+        # Barrier: stop XLA fusing the pack producers INTO the gather
+        # (re-computing pack rows per gathered slot — measured 59 ms vs
+        # 15 ms for the materialized-then-gathered form).
+        pack = jax.lax.optimization_barrier(pack)
+        pack_r = jnp.sum(
+            pack.reshape(O, Fpad)[rc_src] * rc_m[..., None], axis=1
+        )  # [R, Fpad]
+        red = rows_to_views(pack_r)[:, :F]  # [V, F]
+
+        Mv = red[:, :36].reshape(V, 6, 6)
+        a_v = red[:, 36:42]
+        Dc = red[:, 42:48]
+        w0_v = red[:, 48:54]
+        if has_intr:
+            gi = views_to_groups(red[:, 54:])
+            Mg = gi[:, : P * P].reshape(G, P, P)
+            bi = -gi[:, P * P : P * P + P]
+            Di = jnp.maximum(gi[:, P * P + P : P * P + 2 * P], 1e-6)
+            gint = bi - gi[:, P * P + 2 * P :]
+
+        bc = -a_v
+        if J_pr is not None:
+            bc = bc - jnp.einsum("vri,vr->vi", J_pr, r_pr)
+            Dc = Dc + jnp.einsum("vri,vri->vi", J_pr, J_pr)
+            Mv = Mv + jnp.einsum("vri,vrj->vij", J_pr, J_pr)
+        Dc = jnp.maximum(Dc, 1e-6)
+        gc = bc - w0_v
+
+        # Schur-Jacobi preconditioner blocks.
+        Mv = (
+            Mv
+            + mu * (eye6 * Dc[..., None, :])
+            + (1.0 - cam_free)[..., None, :] * eye6
+            + 1e-8 * eye6
+        )
+        Mv_inv = inv_small_spd(Mv, 6)
+        if has_intr:
+            Mg = (
+                Mg
+                + mu * (eyeP * Di[..., None, :])
+                + (1.0 - intr_free)[..., None, :] * eyeP
+                + 1e-8 * eyeP
+            )
+            Mg_inv = jnp.linalg.inv(Mg)
+
+        # Matvec operands (bf16 under mixed precision: the matvec is
+        # bandwidth-bound, halving operand bytes ~halves its wall-clock).
+        Jc_mv = Jc_t.astype(mm)
+        Jp_mv = Jp_t.astype(mm)
+        Jc_b = jax.lax.optimization_barrier(Jc)  # materialize before gather
+        Jc_rc = (Jc_b.reshape(O, 12)[rc_src] * rc_m[..., None]).reshape(
+            R, C, 2, 6
+        ).astype(mm)
+        if has_intr:
+            Ji_mv = Ji_t.astype(mm)
+            Ji_b = jax.lax.optimization_barrier(Ji)
+            Ji_rc = (
+                Ji_b.reshape(O, 2 * P)[rc_src] * rc_m[..., None]
+            ).reshape(R, C, 2, P).astype(mm)
+
+        def S_mv(xs):
+            # bf16 operands upcast at the multiply (fused into the load):
+            # accumulation stays f32, reads are half-width under mixed.
+            xc = xs[0]
+            y = jnp.sum(
+                Jc_mv.astype(dtype) * xc[track_views][..., None, :], axis=-1
+            )  # [T,L,2]
+            if has_intr:
+                y = y + jnp.sum(
+                    Ji_mv.astype(dtype) * xs[1][group_slot][..., None, :],
+                    axis=-1,
+                )
+            t_ = jnp.sum(
+                Jp_mv.astype(dtype) * y[..., None], axis=(1, 2)
+            )  # [T,K]
+            z = _av(Vinv, t_)
+            w = jnp.sum(
+                Jp_mv.astype(dtype) * z[:, None, None, :], axis=-1
+            )  # [T,L,2]
+            u = (y - w).astype(mm).reshape(O, 2)[rc_src]  # [R, C, 2]
+            a_r = jnp.sum(
+                Jc_rc.astype(dtype) * u.astype(dtype)[..., None],
+                axis=(1, 2),
+            )  # [R, 6]
+            a = rows_to_views(a_r)
+            sc = a + mu * Dc * xc
+            if J_pr is not None:
+                sc = sc + jnp.einsum("vri,vrj,vj->vi", J_pr, J_pr, xs[0])
+            if has_intr:
+                ai_r = jnp.sum(
+                    Ji_rc.astype(dtype) * u.astype(dtype)[..., None],
+                    axis=(1, 2),
+                )
+                ai = views_to_groups(rows_to_views(ai_r))
+                return (sc, ai + mu * Di * xs[1])
+            return (sc,)
+
+        def precond(xs):
+            pc = jnp.einsum("vij,vj->vi", Mv_inv, xs[0])
+            if has_intr:
+                return (pc, jnp.einsum("gij,gj->gi", Mg_inv, xs[1]))
+            return (pc,)
+
+        def dot(a, b):
+            return sum(jnp.sum(x * y) for x, y in zip(a, b))
+
+        g = (gc, gint) if has_intr else (gc,)
+        g_norm2 = dot(g, g)
+        tol2 = (options.linear_solver_tolerance**2) * g_norm2
+
+        def pcg_cond(carry):
+            _, rres, _, _, rz, i = carry
+            return (i < options.linear_solver_iterations) & (
+                dot(rres, rres) > tol2
+            )
+
+        def pcg_body(carry):
+            x, rres, z, p, rz, i = carry
+            Sp = S_mv(p)
+            pSp = dot(p, Sp)
+            alpha = rz / jnp.where(pSp == 0, 1.0, pSp)
+            x = jax.tree_util.tree_map(lambda a, b: a + alpha * b, x, p)
+            rres = jax.tree_util.tree_map(
+                lambda a, b: a - alpha * b, rres, Sp
+            )
+            z_new = precond(rres)
+            rz_new = dot(rres, z_new)
+            beta = rz_new / jnp.where(rz == 0, 1.0, rz)
+            p = jax.tree_util.tree_map(lambda a, b: a + beta * b, z_new, p)
+            return x, rres, z_new, p, rz_new, i + 1
+
+        x0 = jax.tree_util.tree_map(jnp.zeros_like, g)
+        z0 = precond(g)
+        carry = (x0, g, z0, z0, dot(g, z0), jnp.asarray(0, jnp.int32))
+        carry = jax.lax.while_loop(pcg_cond, pcg_body, carry)
+        dxs = carry[0]
+        dc = dxs[0] * cam_free
+        di = dxs[1] * intr_free if has_intr else jnp.zeros_like(intr_c)
+
+        # Back-substitute points (full precision — one pass).
+        y = jnp.sum(Jc_t * dc[track_views][..., None, :], axis=-1)
+        if has_intr:
+            y = y + jnp.sum(Ji_t * di[group_slot][..., None, :], axis=-1)
+        t_ = jnp.sum(Jp_t * y[..., None], axis=(1, 2))
+        dp = _av(Vinv, bp - t_) * pt_free
+
+        new_state = (ext_c + dc, intr_c + di, prob.apply_step(pts_c, dp))
+        pred = 0.5 * (
+            jnp.sum(dc * (mu * Dc * dc + bc))
+            + jnp.sum(dp * (mu * jnp.maximum(diagVt, 1e-6) * dp + bp))
+        )
+        if has_intr:
+            pred = pred + 0.5 * jnp.sum(di * (mu * Di * di + bi))
+        ok = jnp.all(jnp.isfinite(dc)) & jnp.all(jnp.isfinite(dp))
+        return new_state, pred, ok
+
+    state0 = (extrinsics, intrinsics, points)
+    initial_cost = cost_of(state0)
+
+    def while_cond(carry):
+        state, mu, cost, it, done = carry
+        return (~done) & (it < options.max_num_iterations)
+
+    def while_body(carry):
+        state, mu, cost, it, done = carry
+        new_state, pred, ok = lm_step(state, mu)
+        new_cost = cost_of(new_state)
+        actual = cost - new_cost
+        accept = ok & (actual > 0) & jnp.isfinite(new_cost)
+        gain = actual / jnp.maximum(pred, 1e-30)
+        mu_new = jnp.where(
+            accept,
+            mu
+            * jnp.maximum(
+                1.0 / 3.0,
+                1.0 - (2.0 * jnp.clip(gain, 0.0, 1.0) - 1.0) ** 3,
+            ),
+            mu * 4.0,
+        )
+        mu_new = jnp.clip(mu_new, 1e-12, 1e10)
+        state = jax.tree_util.tree_map(
+            lambda n, o: jnp.where(accept, n, o), new_state, state
+        )
+        cost_next = jnp.where(accept, new_cost, cost)
+        rel_decrease = actual / jnp.maximum(cost, 1e-30)
+        done = accept & (rel_decrease < options.function_tolerance)
+        return state, mu_new, cost_next, it + 1, done
+
+    mu_init = (
+        jnp.asarray(1.0 / options.initial_trust_region_radius, dtype)
+        if mu0 is None
+        else jnp.asarray(mu0, dtype)
+    )
+    carry = (
+        state0,
+        mu_init,
+        initial_cost,
+        jnp.asarray(0, jnp.int32),
+        jnp.asarray(False),
+    )
+    carry = jax.lax.while_loop(while_cond, while_body, carry)
+    (ext_out, intr_out, pts_out), mu_out, final_cost, iters, _ = carry
+
+    summary = BundleAdjustmentSummary(
+        success=jnp.isfinite(final_cost) & (final_cost <= initial_cost),
+        initial_cost=initial_cost,
+        final_cost=final_cost,
+        num_iterations=iters,
+        final_mu=mu_out,
+    )
+    return ext_out, intr_out, pts_out, summary
+
+
+def bundle_adjust_iterative(
+    extrinsics,
+    intrinsics,
+    points,
+    view_group,
+    group_model_idx,
+    track_views,
+    obs_uv,
+    obs_sqrt_info,
+    obs_mask,
+    row_view,
+    rc_src,
+    rc_mask,
+    camera_free,
+    point_free,
+    intrinsics_free,
+    present_models: tuple,
+    num_views: int,
+    num_tracks: int,
+    max_track_len: int,
+    num_rows: int,
+    row_chunk: int,
+    num_groups: int,
+    options: BundleAdjustmentOptions,
+    priors=None,
+):
+    """LM to convergence with the scatter-free rowchunk iterative-Schur
+    kernel (see `_bundle_adjust_iterative_impl`). Launched in
+    `max_iterations_per_launch`-sized chunks with damping carried."""
+
+    def impl(state, chunk_options, mu0):
+        ext, q, pts = state
+        ext, q, pts, summary = _bundle_adjust_iterative_impl(
+            ext, q, pts,
+            view_group, group_model_idx,
+            track_views, obs_uv, obs_sqrt_info, obs_mask,
+            row_view, rc_src, rc_mask,
+            camera_free, point_free, intrinsics_free,
+            present_models=present_models,
+            num_views=num_views,
+            num_tracks=num_tracks,
+            max_track_len=max_track_len,
+            num_rows=num_rows,
+            row_chunk=row_chunk,
+            num_groups=num_groups,
+            options=chunk_options,
+            priors=priors,
+            mu0=mu0,
+        )
+        return (ext, q, pts), summary
+
+    state, summary = run_launch_chunked(
+        impl, (extrinsics, intrinsics, points), options
+    )
+    ext, q, pts = state
+    return ext, q, pts, summary
