@@ -575,10 +575,15 @@ def joint_covariance_dense(
     ]
     track_cov = Vinv + jnp.concatenate(parts, axis=0)
 
+    # Variance-factor cost: the ROBUST cost rho(s), matching what the
+    # Gauss-Newton covariance is defined against for non-TRIVIAL losses
+    # (sum of w*s from the IRLS-weighted residuals would under-count the
+    # tail contribution of rho).
+    from .losses import loss_rho
+
     cost = jnp.sum(
-        # robust rho already applied inside residuals' weighting; use the
-        # plain squared norm of the weighted residuals for sigma^2.
-        jnp.sum(r * r, axis=-1)
+        loss_rho(s, options.loss_function_type, options.robust_loss_width)
+        * prob.obs_mask.astype(dtype)
     )
     nres = 2.0 * jnp.sum(prob.obs_mask)
     return cam_cov, track_cov, 0.5 * cost, nres

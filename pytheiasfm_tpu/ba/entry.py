@@ -222,7 +222,15 @@ def _run(
     P = recon.intrinsics.shape[1]
     Vp = _pad_soft(V, 8, 512, 256)
     Tp = _pad_soft(T, 64, 16384, 8192)
-    Gp = _pad_pow2(max(G, 1), 4)
+    mesh = options.mesh
+    if mesh is not None:
+        # The track axis divides across the mesh (dense path shard_maps it;
+        # the iterative path shards its slot arrays over it).
+        n_dev = int(np.prod(list(mesh.shape.values())))
+        Tp = -(-Tp // n_dev) * n_dev
+    # G == 1 keeps its own bucket: the iterative kernel's exact intrinsics
+    # elimination specializes on a single shared group.
+    Gp = 1 if G <= 1 else _pad_pow2(G, 4)
     ext_in = np.zeros((Vp, 6), dtype)
     ext_in[:V] = prob["extrinsics"]
 
@@ -420,21 +428,41 @@ def _run(
             num_groups=Gp,
             options=options,
             priors=priors,
+            mesh=mesh,
         )
     elif rowchunk is not None:
+        track_arrays = (
+            jnp.asarray(slot["track_views"]),
+            jnp.asarray(slot["uv"]),
+            jnp.asarray(slot["info"]),
+            jnp.asarray(slot["mask"]),
+        )
+        row_arrays = (
+            jnp.asarray(rowchunk["row_view"]),
+            jnp.asarray(rowchunk["rc_src"]),
+            jnp.asarray(rowchunk["rc_mask"]),
+        )
+        if mesh is not None:
+            # Slot arrays sharded over the track axis, rowchunk arrays
+            # over the row axis, parameters replicated — GSPMD inserts
+            # the cross-layout collectives.
+            import jax
+            from jax.sharding import NamedSharding, PartitionSpec as PS
+
+            ax = mesh.axis_names[0]
+            sh = NamedSharding(mesh, PS(ax))
+            track_arrays = tuple(
+                jax.device_put(a, sh) for a in track_arrays
+            )
+            row_arrays = tuple(jax.device_put(a, sh) for a in row_arrays)
         ext, intr_out, pts, summary = bundle_adjust_iterative(
             jnp.asarray(ext_in),
             jnp.asarray(intr_in),
             jnp.asarray(pts_in),
             jnp.asarray(view_group),
             jnp.asarray(group_model_idx),
-            jnp.asarray(slot["track_views"]),
-            jnp.asarray(slot["uv"]),
-            jnp.asarray(slot["info"]),
-            jnp.asarray(slot["mask"]),
-            jnp.asarray(rowchunk["row_view"]),
-            jnp.asarray(rowchunk["rc_src"]),
-            jnp.asarray(rowchunk["rc_mask"]),
+            *track_arrays,
+            *row_arrays,
             jnp.asarray(cam_free_p),
             jnp.asarray(pt_free_p),
             jnp.asarray(intr_free),
@@ -583,6 +611,13 @@ def compute_reconstruction_covariance(
     `constant_views`: views held constant to fix the gauge (covariance of
     a gauge-free BA problem is singular — the reference expects the same).
     Returns ({view_id: [6,6]}, {track_id: [3,3]}, variance_factor).
+
+    Scale guard: the exact joint covariance materializes and inverts the
+    full [6V, 6V] Schur complement and gathers [T, L, L, 6, 6] blocks —
+    the same practical bounds as the dense-Schur solve apply
+    (`DENSE_SCHUR_MAX_CAMERAS` views, slot length <= 32). Larger problems
+    raise rather than OOM/hang; compute per-block covariances with the
+    `*_with_cov` entries instead.
     """
     from .dense_schur import joint_covariance_dense
 
@@ -591,9 +626,22 @@ def compute_reconstruction_covariance(
     prob = _gather_problem(recon, view_sel, track_sel, dtype)
     V, T = recon.num_views(), recon.num_tracks()
     Vp, Tp = _pad_pow2(V, 8), _pad_pow2(T, 64)
+    if Vp > DENSE_SCHUR_MAX_CAMERAS:
+        raise ValueError(
+            f"compute_reconstruction_covariance materializes a dense "
+            f"[{6 * Vp}, {6 * Vp}] Schur complement; supported up to "
+            f"{DENSE_SCHUR_MAX_CAMERAS} (padded) views, got {V}. Use "
+            f"bundle_adjust_views_with_cov / bundle_adjust_tracks_with_cov "
+            f"for per-block covariances at scale."
+        )
     slot = _slot_layout(prob, Tp, dtype)
     if slot is None:
         return {}, {}, 0.0
+    if slot["L"] > 32:
+        raise ValueError(
+            f"compute_reconstruction_covariance gathers [T, L, L, 6, 6] "
+            f"blocks; supported up to slot length 32, got L={slot['L']}."
+        )
     ext = np.zeros((Vp, 6), dtype)
     ext[:V] = prob["extrinsics"]
     pts = np.zeros((Tp, 3), dtype)

@@ -52,11 +52,13 @@ from .lm import (
     BundleAdjustmentSummary,
     OptimizeIntrinsicsType,
     TrackParametrizationType,
-    _Problem,
     _prior_blocks,
+    _residual_at_point,
+    _tangent_basis4,
     inv_small_spd,
     run_launch_chunked,
 )
+from .losses import loss_rho, loss_weight
 
 __all__ = ["bundle_adjust_iterative"]
 
@@ -148,35 +150,20 @@ def _bundle_adjust_iterative_impl(
     mixed = options.use_mixed_precision_solves
     mm = jnp.bfloat16 if mixed else dtype
 
-    obs_view = track_views.reshape(O)
-    obs_track = jnp.repeat(
-        jnp.arange(T, dtype=jnp.int32), L, total_repeat_length=O
-    )
-    prob = _Problem(
-        (
-            obs_view,
-            obs_track,
-            obs_uv.reshape(O, 2),
-            obs_sqrt_info.reshape(O, 2),
-            obs_mask.reshape(O),
-        ),
-        view_group,
-        jnp.zeros((T,), jnp.int32),
-        jnp.zeros((T, 3), dtype),
-        present_models,
-        group_model_idx,
-        options.track_parametrization_type,
-        options.loss_function_type,
-        options.robust_loss_width,
-        dtype,
-    )
-    if prob.invdepth:
+    tp = options.track_parametrization_type
+    if tp == TrackParametrizationType.INVERSE_DEPTH:
         raise ValueError(
             "bundle_adjust_iterative does not support INVERSE_DEPTH; "
             "use lm.bundle_adjust"
         )
-    K = prob.K
+    manifold = tp == TrackParametrizationType.XYZW_MANIFOLD
+    K = 3
     has_intr = options.intrinsics_to_optimize != OptimizeIntrinsicsType.NONE
+    # Single shared intrinsics group (the common case): eliminate the
+    # intrinsics block exactly before PCG. Multiple groups: keep the
+    # intrinsics in the PCG state.
+    exact_elim = has_intr and G == 1
+    joint_intr = has_intr and G > 1
 
     if camera_free.ndim == 1:
         camera_free = camera_free[..., None]
@@ -185,11 +172,114 @@ def _bundle_adjust_iterative_impl(
     pt_free = (point_free & options.optimize_points)[..., None].astype(dtype)
     intr_free = intrinsics_free.astype(dtype)
 
-    # Loop-invariant bases and index maps (XLA hoists them).
+    # Loop-invariant bases, index maps, and pre-gathered per-slot rows.
+    # Anything here is computed ONCE before the LM while_loop — XLA does
+    # not hoist gathers out of while bodies, and a 600k-index gather costs
+    # ~5 ms per execution on v5e.
     row_oh = _onehot(row_view, V, dtype)  # [V, R]
     group_oh = _onehot(view_group, G, dtype)  # [G, V]
     group_slot = view_group[track_views]  # [T, L]
+    model_idx_slot = group_model_idx[group_slot]  # [T, L]
     rc_m = rc_mask.astype(dtype)
+    maskf = obs_mask.astype(dtype)  # [T, L]
+    cam_free_slot = cam_free[track_views][:, :, None, :]  # [T,L,1,6]
+    pt_free_slot = pt_free[:, None, None, :]  # [T,1,1,1]
+    if has_intr:
+        if G == 1:
+            intr_free_slot = intr_free[0][None, None, None, :]
+        else:
+            intr_free_slot = intr_free[group_slot][:, :, None, :]
+        intr_slot_const = None
+    else:
+        intr_free_slot = None
+        intr_slot_const = (
+            jnp.broadcast_to(intrinsics[0], (T, L, P))
+            if G == 1
+            else intrinsics[group_slot]
+        )
+
+    loss = options.loss_function_type
+    width = options.robust_loss_width
+
+    def slot_residuals(ext, intr_c, pts, with_jac):
+        """Slot-layout-native residual/Jacobian builder.
+
+        Unlike the flat builder (`lm._Problem.residuals`) this never
+        gathers per observation on the track side: the point (and the
+        manifold tangent basis) enter at the TRACK level of the nested
+        vmap and broadcast over the L slots — at Piccadilly scale the
+        avoided 600k-row gathers are ~8-13 ms per evaluation.
+        Returns (r [T,L,2], Jc, Ji, Jp, s) with robust weights applied.
+        """
+        ext_slot = ext[track_views]  # [T,L,6]
+        if has_intr:
+            intr_slot = (
+                jnp.broadcast_to(intr_c[0], (T, L, P))
+                if G == 1
+                else intr_c[group_slot]
+            )
+        else:
+            intr_slot = intr_slot_const
+        pm = present_models
+
+        if manifold:
+            basis = jax.vmap(_tangent_basis4)(pts)  # [T,4,3]
+            zeros3 = jnp.zeros((3,), dtype)
+
+            def f(e6, q, d3, x4, B, uv, si, idx):
+                x4n = x4 + B @ d3
+                w = x4n[3]
+                w = jnp.where(jnp.abs(w) < 1e-12, 1e-12, w)
+                return _residual_at_point(
+                    e6, q, x4n[:3] / w, uv, si, pm, idx
+                )
+
+            def one(e6, q, x4, B, uv, si, idx):
+                args = (e6, q, zeros3, x4, B, uv, si, idx)
+                r = f(*args)
+                if not with_jac:
+                    return r, 0, 0, 0
+                Jc = jax.jacfwd(f, 0)(*args)
+                Ji = jax.jacfwd(f, 1)(*args) if has_intr else 0
+                Jp = jax.jacfwd(f, 2)(*args)
+                return r, Jc, Ji, Jp
+
+            over_l = jax.vmap(one, in_axes=(0, 0, None, None, 0, 0, 0))
+            r, Jc, Ji, Jp = jax.vmap(over_l)(
+                ext_slot, intr_slot, pts, basis,
+                obs_uv, obs_sqrt_info, model_idx_slot,
+            )
+        else:
+            def f(e6, q, p3, uv, si, idx):
+                return _residual_at_point(e6, q, p3, uv, si, pm, idx)
+
+            def one(e6, q, p3, uv, si, idx):
+                args = (e6, q, p3, uv, si, idx)
+                r = f(*args)
+                if not with_jac:
+                    return r, 0, 0, 0
+                Jc = jax.jacfwd(f, 0)(*args)
+                Ji = jax.jacfwd(f, 1)(*args) if has_intr else 0
+                Jp = jax.jacfwd(f, 2)(*args)
+                return r, Jc, Ji, Jp
+
+            over_l = jax.vmap(one, in_axes=(0, 0, None, 0, 0, 0))
+            r, Jc, Ji, Jp = jax.vmap(over_l)(
+                ext_slot, intr_slot, pts,
+                obs_uv, obs_sqrt_info, model_idx_slot,
+            )
+
+        s = jnp.sum(r * r, axis=-1)
+        w = loss_weight(s, loss, width) * maskf
+        sw = jnp.sqrt(w)[..., None]
+        r = r * sw
+        if not with_jac:
+            return r, None, None, None, s
+        scale = sw[..., None]
+        Jc = Jc * scale * cam_free_slot
+        Jp = Jp * scale * pt_free_slot
+        Ji = Ji * scale * intr_free_slot if has_intr else None
+        return r, Jc, Ji, Jp, s
 
     def rows_to_views(vals_r):  # [R, F] -> [V, F]
         return jnp.einsum(
@@ -203,7 +293,8 @@ def _bundle_adjust_iterative_impl(
 
     def cost_of(state):
         ext, q, pts = state
-        c = prob.cost(ext, q, pts)
+        r, _, _, _, s = slot_residuals(ext, q, pts, with_jac=False)
+        c = 0.5 * jnp.sum(loss_rho(s, loss, width) * maskf)
         if priors is not None:
             r_pr, _ = _prior_blocks(ext, priors, dtype)
             c = c + 0.5 * jnp.sum(r_pr * r_pr)
@@ -213,21 +304,19 @@ def _bundle_adjust_iterative_impl(
     eye6 = jnp.eye(6, dtype=dtype)
     eyeP = jnp.eye(P, dtype=dtype)
 
+    def apply_step(pts, dp):
+        if manifold:
+            basis = jax.vmap(_tangent_basis4)(pts)
+            new = pts + jnp.einsum("tij,tj->ti", basis, dp)
+            n = jnp.linalg.norm(new, axis=-1, keepdims=True)
+            return new / jnp.maximum(n, 1e-12)
+        return pts + dp
+
     def lm_step(state, mu):
         ext_c, intr_c, pts_c = state
-        r, Jc, _Jr, Ji, Jp, _ = prob.residuals(
-            ext_c, intr_c, pts_c, with_jac=True, want_intr_jac=has_intr
+        r_t, Jc_t, Ji_t, Jp_t, _ = slot_residuals(
+            ext_c, intr_c, pts_c, with_jac=True
         )
-        Jc = Jc * cam_free[obs_view][:, None, :]
-        Jp = Jp * pt_free[obs_track][:, None, :]
-        if has_intr:
-            Ji = Ji * intr_free[prob.obs_group][:, None, :]
-
-        Jc_t = Jc.reshape(T, L, 2, 6)
-        Jp_t = Jp.reshape(T, L, 2, K)
-        r_t = r.reshape(T, L, 2)
-        if has_intr:
-            Ji_t = Ji.reshape(T, L, 2, P)
 
         if priors is not None:
             r_pr, J_pr = _prior_blocks(ext_c, priors, dtype)
@@ -277,13 +366,50 @@ def _bundle_adjust_iterative_impl(
             Wi = JiX[..., :K]  # [T,L,P,K]
             ai_slot = JiX[..., K]  # [T,L,P]
             Ug_slot = JiX[..., K + 1 :]  # [T,L,P,P]
+        if exact_elim:
+            # Free shared intrinsics (single group — the overwhelmingly
+            # common case): the [P] block couples EVERY camera, which
+            # destroys block-Jacobi PCG convergence whenever the
+            # intrinsics are off. Since P is tiny, eliminate the block
+            # EXACTLY (bordered Schur): PCG runs on
+            #   S~ = S_cc - B Sq^-1 B^T
+            # with B [V,6,P] the per-view coupling and Sq [P,P] the
+            # intrinsics Schur block, both point-eliminated. The point
+            # correction needs TRACK-LEVEL sums (W V^-1 couples every
+            # slot pair of a track), hence Wi_t below.
+            Wi_t = jnp.sum(Wi, axis=1)  # [T,P,K]
+            Yi_t = _ab(Wi_t, Vinv)  # [T,P,K]
+            ji_cross = JcX[..., 6 + K + 1 :]  # [T,L,6,P] = Jc^T Ji
+            B_slot = (ji_cross - _abt(Y, Wi_t[:, None])).reshape(
+                T, L, 6 * P
+            )
+            packs.append(B_slot)
+            # Global reductions straight from the track layout (P-sized
+            # outputs — real MXU contractions, no pack columns needed).
+            Sq1 = jnp.sum(Ug_slot, axis=(0, 1)) - jnp.einsum(
+                "tik,tjk->ij", Yi_t, Wi_t
+            )  # [P,P]
+            bi1 = -jnp.sum(ai_slot, axis=(0, 1))  # [P]
+            Di1 = jnp.maximum(jnp.einsum("tlii->i", Ug_slot), 1e-6)
+            gq1 = bi1 - jnp.einsum("tik,tk->i", Yi_t, bp)
+        elif joint_intr:
+            # Multiple shared-intrinsics groups: keep the intrinsics in
+            # the PCG state (slot-diagonal Schur-Jacobi preconditioner).
             di_slot = jnp.einsum("tlii->tli", Ug_slot)
             Yi = _ab(Wi, Vinv[:, None])
             Mg_slot = (Ug_slot - _abt(Yi, Wi)).reshape(T, L, P * P)
             wi0_slot = _av(Yi, bp[:, None])
             packs += [Mg_slot, ai_slot, di_slot, wi0_slot]
+        # The Jacobian rows needed by the matvec adjoint ride the SAME
+        # gather as the pack (a 128-wide f32 row gather costs the same as
+        # 64-wide — the gather is index-floor-bound).
+        packs.append(Jc_t.reshape(T, L, 12))
+        if joint_intr:
+            packs.append(Ji_t.reshape(T, L, 2 * P))
         pack = jnp.concatenate(packs, axis=-1)
         F = pack.shape[-1]
+        njc = 12 + (2 * P if joint_intr else 0)
+        Fred = F - njc  # columns that feed the view reduction
         # Pad the packed row to a 64-float boundary: TPU row gathers run
         # ~4.5x faster on 256-byte-aligned rows (measured 15 ms vs 70 ms
         # for a [1M, 54] f32 gather on v5e).
@@ -294,21 +420,14 @@ def _bundle_adjust_iterative_impl(
         # (re-computing pack rows per gathered slot — measured 59 ms vs
         # 15 ms for the materialized-then-gathered form).
         pack = jax.lax.optimization_barrier(pack)
-        pack_r = jnp.sum(
-            pack.reshape(O, Fpad)[rc_src] * rc_m[..., None], axis=1
-        )  # [R, Fpad]
-        red = rows_to_views(pack_r)[:, :F]  # [V, F]
+        pack_rc = pack.reshape(O, Fpad)[rc_src] * rc_m[..., None]
+        pack_r = jnp.sum(pack_rc[..., :Fred], axis=1)  # [R, Fred]
+        red = rows_to_views(pack_r)  # [V, Fred]
 
         Mv = red[:, :36].reshape(V, 6, 6)
         a_v = red[:, 36:42]
         Dc = red[:, 42:48]
         w0_v = red[:, 48:54]
-        if has_intr:
-            gi = views_to_groups(red[:, 54:])
-            Mg = gi[:, : P * P].reshape(G, P, P)
-            bi = -gi[:, P * P : P * P + P]
-            Di = jnp.maximum(gi[:, P * P + P : P * P + 2 * P], 1e-6)
-            gint = bi - gi[:, P * P + 2 * P :]
 
         bc = -a_v
         if J_pr is not None:
@@ -318,37 +437,60 @@ def _bundle_adjust_iterative_impl(
         Dc = jnp.maximum(Dc, 1e-6)
         gc = bc - w0_v
 
-        # Schur-Jacobi preconditioner blocks.
         Mv = (
             Mv
             + mu * (eye6 * Dc[..., None, :])
             + (1.0 - cam_free)[..., None, :] * eye6
             + 1e-8 * eye6
         )
-        Mv_inv = inv_small_spd(Mv, 6)
-        if has_intr:
-            Mg = (
+
+        if exact_elim:
+            Bv = red[:, 54 : 54 + 6 * P].reshape(V, 6, P)
+            Sq_d = (
+                Sq1
+                + mu * (eyeP * Di1[None, :])
+                + eyeP * (1.0 - intr_free[0])[None, :]
+                + 1e-8 * eyeP
+            )
+            Sq_inv1 = jnp.linalg.inv(Sq_d)
+
+            def intr_corr(xc):
+                """B Sq^-1 B^T xc — the eliminated-block correction."""
+                btx = jnp.einsum("vip,vi->p", Bv, xc)
+                return jnp.einsum("vip,p->vi", Bv, Sq_inv1 @ btx)
+
+            gc = gc - jnp.einsum("vip,p->vi", Bv, Sq_inv1 @ gq1)
+            # Preconditioner = the exact diagonal block of S~.
+            Mv = Mv - jnp.einsum("vip,pq,vjq->vij", Bv, Sq_inv1, Bv)
+        elif joint_intr:
+            gi = views_to_groups(red[:, 54:])
+            Mg = gi[:, : P * P].reshape(G, P, P)
+            bi = -gi[:, P * P : P * P + P]
+            Di = jnp.maximum(gi[:, P * P + P : P * P + 2 * P], 1e-6)
+            gint = bi - gi[:, P * P + 2 * P :]
+            Mg_d = (
                 Mg
                 + mu * (eyeP * Di[..., None, :])
                 + (1.0 - intr_free)[..., None, :] * eyeP
                 + 1e-8 * eyeP
             )
-            Mg_inv = jnp.linalg.inv(Mg)
+            Mg_inv = jnp.linalg.inv(Mg_d)
+
+        # Schur-Jacobi preconditioner blocks.
+        Mv_inv = inv_small_spd(Mv, 6)
 
         # Matvec operands (bf16 under mixed precision: the matvec is
         # bandwidth-bound, halving operand bytes ~halves its wall-clock).
         Jc_mv = Jc_t.astype(mm)
         Jp_mv = Jp_t.astype(mm)
-        Jc_b = jax.lax.optimization_barrier(Jc)  # materialize before gather
-        Jc_rc = (Jc_b.reshape(O, 12)[rc_src] * rc_m[..., None]).reshape(
-            R, C, 2, 6
-        ).astype(mm)
-        if has_intr:
+        Jc_rc = pack_rc[..., Fred : Fred + 12].reshape(R, C, 2, 6).astype(mm)
+        if joint_intr:
             Ji_mv = Ji_t.astype(mm)
-            Ji_b = jax.lax.optimization_barrier(Ji)
             Ji_rc = (
-                Ji_b.reshape(O, 2 * P)[rc_src] * rc_m[..., None]
-            ).reshape(R, C, 2, P).astype(mm)
+                pack_rc[..., Fred + 12 : Fred + 12 + 2 * P]
+                .reshape(R, C, 2, P)
+                .astype(mm)
+            )
 
         def S_mv(xs):
             # bf16 operands upcast at the multiply (fused into the load):
@@ -357,7 +499,7 @@ def _bundle_adjust_iterative_impl(
             y = jnp.sum(
                 Jc_mv.astype(dtype) * xc[track_views][..., None, :], axis=-1
             )  # [T,L,2]
-            if has_intr:
+            if joint_intr:
                 y = y + jnp.sum(
                     Ji_mv.astype(dtype) * xs[1][group_slot][..., None, :],
                     axis=-1,
@@ -377,8 +519,10 @@ def _bundle_adjust_iterative_impl(
             a = rows_to_views(a_r)
             sc = a + mu * Dc * xc
             if J_pr is not None:
-                sc = sc + jnp.einsum("vri,vrj,vj->vi", J_pr, J_pr, xs[0])
-            if has_intr:
+                sc = sc + jnp.einsum("vri,vrj,vj->vi", J_pr, J_pr, xc)
+            if exact_elim:
+                sc = sc - intr_corr(xc)
+            if joint_intr:
                 ai_r = jnp.sum(
                     Ji_rc.astype(dtype) * u.astype(dtype)[..., None],
                     axis=(1, 2),
@@ -389,14 +533,14 @@ def _bundle_adjust_iterative_impl(
 
         def precond(xs):
             pc = jnp.einsum("vij,vj->vi", Mv_inv, xs[0])
-            if has_intr:
+            if joint_intr:
                 return (pc, jnp.einsum("gij,gj->gi", Mg_inv, xs[1]))
             return (pc,)
 
         def dot(a, b):
             return sum(jnp.sum(x * y) for x, y in zip(a, b))
 
-        g = (gc, gint) if has_intr else (gc,)
+        g = (gc, gint) if joint_intr else (gc,)
         g_norm2 = dot(g, g)
         tol2 = (options.linear_solver_tolerance**2) * g_norm2
 
@@ -427,7 +571,15 @@ def _bundle_adjust_iterative_impl(
         carry = jax.lax.while_loop(pcg_cond, pcg_body, carry)
         dxs = carry[0]
         dc = dxs[0] * cam_free
-        di = dxs[1] * intr_free if has_intr else jnp.zeros_like(intr_c)
+        if exact_elim:
+            # Recover the eliminated intrinsics step:
+            # dq = Sq^-1 (gq - B^T dc).
+            dq = Sq_inv1 @ (gq1 - jnp.einsum("vip,vi->p", Bv, dc))
+            di = dq[None, :] * intr_free
+        elif joint_intr:
+            di = dxs[1] * intr_free
+        else:
+            di = jnp.zeros_like(intr_c)
 
         # Back-substitute points (full precision — one pass).
         y = jnp.sum(Jc_t * dc[track_views][..., None, :], axis=-1)
@@ -436,14 +588,22 @@ def _bundle_adjust_iterative_impl(
         t_ = jnp.sum(Jp_t * y[..., None], axis=(1, 2))
         dp = _av(Vinv, bp - t_) * pt_free
 
-        new_state = (ext_c + dc, intr_c + di, prob.apply_step(pts_c, dp))
+        new_state = (ext_c + dc, intr_c + di, apply_step(pts_c, dp))
         pred = 0.5 * (
             jnp.sum(dc * (mu * Dc * dc + bc))
             + jnp.sum(dp * (mu * jnp.maximum(diagVt, 1e-6) * dp + bp))
         )
-        if has_intr:
+        if exact_elim:
+            pred = pred + 0.5 * jnp.sum(
+                di * (mu * Di1[None, :] * di + bi1[None, :])
+            )
+        elif joint_intr:
             pred = pred + 0.5 * jnp.sum(di * (mu * Di * di + bi))
-        ok = jnp.all(jnp.isfinite(dc)) & jnp.all(jnp.isfinite(dp))
+        ok = (
+            jnp.all(jnp.isfinite(dc))
+            & jnp.all(jnp.isfinite(dp))
+            & jnp.all(jnp.isfinite(di))
+        )
         return new_state, pred, ok
 
     state0 = (extrinsics, intrinsics, points)

@@ -150,6 +150,14 @@ class BundleAdjustmentOptions:
     use_orientation_priors: bool = False
     use_gravity_priors: bool = False
     verbose: bool = False
+    # Device mesh for multi-chip BA (`jax.sharding.Mesh`, 1-D). Through the
+    # public entries (`ba/entry.py`): the dense-Schur path runs its Schur
+    # product as an explicit shard_map + psum over the track axis
+    # (`dense_schur.py:283`); the rowchunk iterative path shards its slot
+    # arrays over the mesh and lets GSPMD insert the collectives. None =
+    # single device. (SURVEY §7.9 — no reference analogue; Ceres is
+    # single-process.)
+    mesh: object = None
 
 
 @jax.tree_util.register_dataclass
@@ -258,17 +266,22 @@ class _Problem:
         self.manifold = track_param == TrackParametrizationType.XYZW_MANIFOLD
 
     def residuals(self, extrinsics, intrinsics, points, with_jac,
-                  want_intr_jac=True):
+                  want_intr_jac=True, intr_rows=None):
         """Robust-weighted residuals r [O,2]; if with_jac also
         (Jc [O,2,6], Jr [O,2,6] or None, Ji [O,2,P] or None, Jp [O,2,K]).
 
         `want_intr_jac=False` statically drops the intrinsics Jacobian —
         the frozen-intrinsics specialization (the common case: Ceres simply
         has no intrinsics parameter blocks when OptimizeIntrinsicsType is
-        NONE, `bundle_adjuster.cc:315`)."""
+        NONE, `bundle_adjuster.cc:315`).
+
+        `intr_rows` ([O, P]): pre-gathered per-observation intrinsics. With
+        frozen intrinsics the gather is loop-invariant but XLA does not
+        hoist gathers out of `while_loop` bodies — a 600k-index gather
+        costs ~5 ms/iteration on v5e; callers hoist it themselves."""
         ov, ot = self.obs_view, self.obs_track
         ext_o = extrinsics[ov]
-        intr_o = intrinsics[self.obs_group]
+        intr_o = intrinsics[self.obs_group] if intr_rows is None else intr_rows
         pm, mi = self.present_models, self.model_idx_o
 
         if self.invdepth:
@@ -365,8 +378,11 @@ class _Problem:
             Jr = Jr * scale
         return r * sw, Jc, Jr, Ji, Jp, s
 
-    def cost(self, extrinsics, intrinsics, points):
-        _, s = self.residuals(extrinsics, intrinsics, points, with_jac=False)
+    def cost(self, extrinsics, intrinsics, points, intr_rows=None):
+        _, s = self.residuals(
+            extrinsics, intrinsics, points, with_jac=False,
+            intr_rows=intr_rows,
+        )
         raw = loss_rho(s, self.loss, self.loss_width) * self.obs_mask.astype(
             self.dtype
         )
@@ -885,6 +901,21 @@ def run_launch_chunked(impl, state, options: BundleAdjustmentOptions):
 
     total = options.max_num_iterations
     cap = max(int(options.max_iterations_per_launch), 1)
+    if total <= 0:
+        # Zero-iteration budget: report the current state unchanged (the
+        # while loop below would otherwise leave summary undefined).
+        state_leaves = jax.tree_util.tree_leaves(state)
+        dt = state_leaves[0].dtype if state_leaves else jnp.float32
+        zero = jnp.zeros((), dt)
+        return state, BundleAdjustmentSummary(
+            success=jnp.asarray(True),
+            initial_cost=zero,
+            final_cost=zero,
+            num_iterations=jnp.asarray(0, jnp.int32),
+            final_mu=jnp.asarray(
+                1.0 / options.initial_trust_region_radius, dt
+            ),
+        )
     done = 0
     mu = None
     first_initial = None

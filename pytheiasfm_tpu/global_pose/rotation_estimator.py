@@ -164,6 +164,11 @@ def robust_rotation_averaging(
         D = (edge_j[:, None] == ar[None, :]).astype(dtype) - (
             edge_i[:, None] == ar[None, :]
         ).astype(dtype)
+        # The inner CG runs THOUSANDS of normal-equation matvecs; reading
+        # D [E, V] twice per matvec is the phase's entire HBM bill. The
+        # materialized graph Laplacian L = DᵀD [V, V] is E/V-fold smaller
+        # — numerically the identical operator.
+        Lap = D.T @ D
 
     def apply_A(delta):
         d = delta.reshape(num_views, 3) * fm
@@ -178,6 +183,12 @@ def robust_rotation_averaging(
         acc = jax.ops.segment_sum(yv, edge_j, num_segments=num_views)
         acc -= jax.ops.segment_sum(yv, edge_i, num_segments=num_views)
         return (acc * fm).reshape(-1)
+
+    def normal_matvec(delta):
+        if not use_dense:
+            return apply_At(apply_A(delta))
+        d = delta.reshape(num_views, 3) * fm
+        return (Lap @ d * fm).reshape(-1)
 
     degree = (
         jax.ops.segment_sum(jnp.ones_like(edge_i, dtype), edge_i, num_segments=num_views)
@@ -194,6 +205,7 @@ def robust_rotation_averaging(
             apply_A, apply_At, e, (num_views * 3,),
             outer_iters=options.admm_iterations,
             cg_iters=options.cg_iterations, precond=precond,
+            normal_matvec=normal_matvec,
         )
         delta = delta.reshape(num_views, 3) * fm
         return _apply_update(R_aa, delta), None
@@ -217,7 +229,16 @@ def robust_rotation_averaging(
         def apply_Atw(y):
             return apply_At((y.reshape(-1, 3) * sw).reshape(-1))
 
-        matvec = lambda v: apply_Atw(apply_Aw(v))
+        if use_dense:
+            # Weighted Laplacian Dᵀ diag(w) D — one [V,E]x[E,V] MXU
+            # matmul per IRLS relinearization, then V²-sized matvecs.
+            Lw = D.T @ (D * w[:, None])
+
+            def matvec(v):
+                d = v.reshape(num_views, 3) * fm
+                return (Lw @ d * fm).reshape(-1)
+        else:
+            matvec = lambda v: apply_Atw(apply_Aw(v))
         rhs = apply_Atw((e * sw).reshape(-1))
         delta = conjugate_gradient(
             matvec, rhs, iters=options.cg_iterations, precond=precond

@@ -51,6 +51,12 @@ def _pair_depths(aa2, pos2, f1, f2):
 
     depth1 = jnp.linalg.norm(point)
     depth2 = jnp.linalg.norm(point - pos2)
+    # INTENTIONAL DEVIATION from GetTriangulatedPointDepths
+    # (compute_triplet_baseline_ratios.cc): the reference accepts midpoint
+    # solutions behind either camera (depths are norms regardless of sign);
+    # the cheirality gate (t1 > 0, t2 > 0) drops those, which on noisy
+    # borderline geometry keeps nonsense depths out of the baseline-ratio
+    # medians. Feature counts can differ from the reference on such edges.
     ok = ok & (t1 > 0) & (t2 > 0) & jnp.isfinite(depth1) & jnp.isfinite(depth2)
     return depth1, depth2, ok
 

@@ -122,6 +122,9 @@ def match_descriptors_batch(
     return jax.vmap(one)(d1, d2, mask1, mask2)
 
 
+_PALLAS_FALLBACK_WARNED = False
+
+
 def match_descriptors_batch_auto(
     d1,
     d2,
@@ -148,8 +151,20 @@ def match_descriptors_batch_auto(
                 use_lowes_ratio=use_lowes_ratio,
                 keep_only_symmetric=keep_only_symmetric,
             )
-        except Exception:
-            pass  # Mosaic unavailable/failed: fall through to XLA.
+        except Exception as exc:  # Mosaic unavailable/failed: XLA fallback.
+            # Loud, once per process: a silent fallback would hide real
+            # kernel regressions as a quiet performance change.
+            global _PALLAS_FALLBACK_WARNED
+            if not _PALLAS_FALLBACK_WARNED:
+                _PALLAS_FALLBACK_WARNED = True
+                from ..utils.log import logger
+
+                logger.warning(
+                    "Pallas matcher failed (%s: %s) — falling back to the "
+                    "XLA matcher for this process",
+                    type(exc).__name__,
+                    exc,
+                )
     return match_descriptors_batch(
         d1, d2, mask1, mask2, lowes_ratio,
         use_lowes_ratio=use_lowes_ratio,

@@ -129,10 +129,17 @@ class ReconstructionEstimatorOptions:
     bundle_adjustment_robust_loss_width: float = 10.0
     max_num_iterations: int = 50
     linear_solver_iterations: int = 40
+    # Reference defaults (`reconstruction_estimator_options.h:281-290`):
+    # optimize focal length + radial distortion, homogeneous points on the
+    # unit-sphere manifold. Set `intrinsics_to_optimize = NONE` when
+    # calibration is accurately known (also the reference's advice).
     track_parametrization_type: TrackParametrizationType = (
-        TrackParametrizationType.XYZW
+        TrackParametrizationType.XYZW_MANIFOLD
     )
-    intrinsics_to_optimize: OptimizeIntrinsicsType = OptimizeIntrinsicsType.NONE
+    intrinsics_to_optimize: OptimizeIntrinsicsType = (
+        OptimizeIntrinsicsType.FOCAL_LENGTH
+        | OptimizeIntrinsicsType.RADIAL_DISTORTION
+    )
 
     # Track subsampling.
     subsample_tracks_for_bundle_adjustment: bool = False
@@ -142,6 +149,11 @@ class ReconstructionEstimatorOptions:
 
     # Localization.
     localization_pnp_type: PnPType = PnPType.DLS
+
+    # Multi-device execution (no reference analogue — SURVEY §7.9): a
+    # `jax.sharding.Mesh` over which bundle adjustment shards its track
+    # axis. None = single device.
+    mesh: object = None
 
 
 @dataclasses.dataclass
@@ -176,6 +188,7 @@ def set_bundle_adjustment_options(
         linear_solver_iterations=options.linear_solver_iterations,
         track_parametrization_type=options.track_parametrization_type,
         intrinsics_to_optimize=options.intrinsics_to_optimize,
+        mesh=options.mesh,
     )
 
 

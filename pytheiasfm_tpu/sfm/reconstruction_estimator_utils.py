@@ -105,55 +105,73 @@ def set_outlier_tracks_to_unestimated(
     pair of viewing rays subtends less than the minimum angle."""
     max_sq = max_inlier_reprojection_error**2
     min_cos = np.cos(np.deg2rad(min_triangulation_angle_degrees))
+    T = recon.num_tracks()
 
+    cand = np.zeros(T, bool)
     if track_ids is None:
-        track_ids = np.where(recon.track_estimated)[0]
+        cand[:] = recon.track_estimated
     else:
-        track_ids = [t for t in track_ids if recon.track_estimated[t]]
+        ids = np.asarray(list(track_ids), np.int64)
+        if len(ids):
+            cand[ids[recon.track_estimated[ids]]] = True
+    if not cand.any():
+        return 0
 
-    # Gather rows of estimated views observing estimated candidate tracks.
-    rows = []
-    for t in track_ids:
-        for r in recon.track_observations(t):
-            if recon.view_estimated[recon.obs_view[r]]:
-                rows.append(r)
-    rows = np.asarray(rows, np.int64)
+    # Rows of estimated views observing candidate tracks — one vectorized
+    # mask over the observation table (the per-track Python loop here cost
+    # ~4 s per BA round at 100k tracks).
+    ov, ot = recon.obs_view, recon.obs_track
+    rows = np.where(cand[ot] & recon.view_estimated[ov])[0]
     if len(rows) == 0:
         return 0
     err, depth = compute_reprojection_errors(recon, rows)
-    tracks = recon.obs_track[rows]
+    tracks = ot[rows]
 
-    T = recon.num_tracks()
     sum_err = np.zeros(T)
     cnt = np.zeros(T)
     bad_depth = np.zeros(T, bool)
     np.add.at(sum_err, tracks, err)
     np.add.at(cnt, tracks, 1.0)
     np.logical_or.at(bad_depth, tracks, depth < 0)
+    seen = cnt > 0
+    drop = bad_depth | (sum_err > max_sq * np.maximum(cnt, 1.0))
 
-    # Viewing-angle test per track.
-    w = recon.points[:, 3:4]
-    pts3 = recon.points[:, :3] / np.where(np.abs(w) < 1e-12, 1.0, w)
-    num_removed = 0
-    for t in track_ids:
-        if cnt[t] == 0:
-            continue
-        drop = bad_depth[t] or (sum_err[t] / cnt[t] > max_sq)
-        if not drop:
-            trows = [
-                r
-                for r in recon.track_observations(t)
-                if recon.view_estimated[recon.obs_view[r]]
-            ]
-            dirs = pts3[t] - recon.view_extrinsics[recon.obs_view[trows], :3]
-            norms = np.linalg.norm(dirs, axis=-1, keepdims=True)
-            dirs = dirs / np.where(norms < 1e-12, 1.0, norms)
-            cosang = dirs @ dirs.T
-            np.fill_diagonal(cosang, 1.0)
-            drop = cosang.min() > min_cos
-        if drop:
-            recon.track_estimated[t] = False
-            num_removed += 1
+    # Viewing-angle test for the survivors, in a padded [Tc, L] slot
+    # layout (best pair of rays must subtend >= the minimum angle).
+    need = np.where(seen & ~drop & cand)[0]
+    if len(need):
+        sub = rows[np.isin(tracks, need)]
+        st = ot[sub]
+        order = np.argsort(st, kind="stable")
+        sub, st = sub[order], st[order]
+        tmap = np.full(T, -1, np.int64)
+        tmap[need] = np.arange(len(need))
+        stc = tmap[st]
+        counts = np.bincount(stc, minlength=len(need))
+        L = max(int(counts.max()), 1)
+        starts = np.zeros(len(need) + 1, np.int64)
+        np.cumsum(counts, out=starts[1:])
+        pos = np.arange(len(sub)) - starts[stc]
+        w = recon.points[need, 3:4]
+        pts3 = recon.points[need, :3] / np.where(
+            np.abs(w) < 1e-12, 1.0, w
+        )
+        dirs = np.zeros((len(need), L, 3))
+        valid = np.zeros((len(need), L), bool)
+        d = pts3[stc] - recon.view_extrinsics[ov[sub], :3]
+        n = np.linalg.norm(d, axis=-1, keepdims=True)
+        dirs[stc, pos] = d / np.where(n < 1e-12, 1.0, n)
+        valid[stc, pos] = True
+        cosang = np.einsum("tli,tmi->tlm", dirs, dirs)
+        pair_ok = valid[:, :, None] & valid[:, None, :]
+        np.einsum("tll->tl", cosang)[:] = 1.0  # ignore self-pairs
+        cosang = np.where(pair_ok, cosang, 1.0)
+        narrow = cosang.min(axis=(1, 2)) > min_cos
+        drop[need[narrow]] = True
+
+    out = cand & seen & drop
+    num_removed = int(out.sum())
+    recon.track_estimated[out] = False
     return num_removed
 
 
@@ -161,34 +179,26 @@ def set_underconstrained_tracks_to_unestimated(recon) -> int:
     """Parity: `theia::SetUnderconstrainedTracksToUnestimated`
     (`reconstruction_estimator_utils.cc:292-316`): estimated tracks need
     >= 2 estimated observing views."""
-    n = 0
-    for t in range(recon.num_tracks()):
-        if not recon.track_estimated[t]:
-            continue
-        cnt = sum(
-            1
-            for r in recon.track_observations(t)
-            if recon.view_estimated[recon.obs_view[r]]
-        )
-        if cnt < kMinNumObservingViews:
-            recon.track_estimated[t] = False
-            n += 1
-    return n
+    good = recon.view_estimated[recon.obs_view]
+    cnt = np.bincount(
+        recon.obs_track[good], minlength=recon.num_tracks()
+    )
+    out = recon.track_estimated & (cnt < kMinNumObservingViews)
+    recon.track_estimated[out] = False
+    return int(out.sum())
 
 
 def set_underconstrained_views_to_unestimated(recon) -> int:
     """Parity: `theia::SetUnderconstrainedViewsToUnestimated`
     (`reconstruction_estimator_utils.cc:323-347`): estimated views need
     >= 3 estimated observed tracks."""
-    n = 0
-    for v in range(recon.num_views()):
-        if not recon.view_estimated[v]:
-            continue
-        cnt = sum(1 for t in recon.tracks_in_view(v) if recon.track_estimated[t])
-        if cnt < kMinNumObservedTracks:
-            recon.view_estimated[v] = False
-            n += 1
-    return n
+    good = recon.track_estimated[recon.obs_track]
+    cnt = np.bincount(
+        recon.obs_view[good], minlength=recon.num_views()
+    )
+    out = recon.view_estimated & (cnt < kMinNumObservedTracks)
+    recon.view_estimated[out] = False
+    return int(out.sum())
 
 
 def num_estimated_views(recon) -> int:

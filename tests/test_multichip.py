@@ -122,3 +122,113 @@ def test_matcher_sharded_pairs_matches_single_device(rng):
     idx_1, dist_1 = match_descriptors_batch(d1, d2, m, m, ratio, use_bf16=False)
     np.testing.assert_array_equal(np.asarray(idx_s), np.asarray(idx_1))
     np.testing.assert_allclose(np.asarray(dist_s), np.asarray(dist_1), rtol=1e-6)
+
+
+def test_public_entry_mesh_ba_matches_single_device(rng):
+    """`bundle_adjust_reconstruction(options(mesh=...))` — the PUBLIC
+    multi-device path (SURVEY §7.9): a user enables distributed BA with one
+    options field, no kernel imports."""
+    import dataclasses
+
+    from pytheiasfm_tpu.ba import BundleAdjustmentOptions
+    from pytheiasfm_tpu.ba.entry import bundle_adjust_partial_reconstruction
+    from pytheiasfm_tpu.utils.synthetic import random_reconstruction
+
+    def scene():
+        r = random_reconstruction(num_views=10, num_tracks=120, seed=3)
+        r.view_extrinsics[2:] += rng.standard_normal((8, 6)) * 0.01
+        r.points[:, :3] += 0.02
+        return r
+
+    free = (list(range(2, 10)), list(range(120)))
+    base = BundleAdjustmentOptions(max_num_iterations=10)
+    r_single, r_mesh = scene(), scene()
+    # f64: LM accept/reject decisions sit on knife edges that f32
+    # shard-reduction-order noise can flip; at f64 the sharded and
+    # single-device trajectories must agree to ~1e-8.
+    s1 = bundle_adjust_partial_reconstruction(
+        base, *free, r_single, dtype=np.float64
+    )
+    s2 = bundle_adjust_partial_reconstruction(
+        dataclasses.replace(base, mesh=make_mesh(8)),
+        *free,
+        r_mesh,
+        dtype=np.float64,
+    )
+    assert bool(s1.success) and bool(s2.success)
+    np.testing.assert_allclose(
+        r_mesh.view_extrinsics, r_single.view_extrinsics, rtol=1e-7, atol=1e-8
+    )
+    # Noise-free scene: both costs sit at the f64 noise floor.
+    np.testing.assert_allclose(
+        float(s2.final_cost), float(s1.final_cost), rtol=1e-6, atol=1e-18
+    )
+
+
+def test_public_entry_mesh_free_intrinsics(rng):
+    """The mesh path must also cover the default (free-intrinsics) config,
+    which routes to the rowchunk iterative kernel under GSPMD sharding."""
+    import dataclasses
+
+    from pytheiasfm_tpu.ba import BundleAdjustmentOptions
+    from pytheiasfm_tpu.ba.entry import bundle_adjust_partial_reconstruction
+    from pytheiasfm_tpu.models.intrinsics import OptimizeIntrinsicsType as OI
+    from pytheiasfm_tpu.utils.synthetic import random_reconstruction
+
+    def scene():
+        r = random_reconstruction(num_views=10, num_tracks=120, seed=5)
+        r.view_group[:] = 0
+        r.intrinsics = r.intrinsics[:1]
+        r.group_model = r.group_model[:1]
+        r.view_extrinsics[2:] += rng.standard_normal((8, 6)) * 0.01
+        r.intrinsics[0, 0] *= 1.03
+        return r
+
+    free = (list(range(2, 10)), list(range(120)))
+    base = BundleAdjustmentOptions(
+        max_num_iterations=30, intrinsics_to_optimize=OI.FOCAL_LENGTH
+    )
+    r1, r2 = scene(), scene()
+    s1 = bundle_adjust_partial_reconstruction(base, *free, r1)
+    s2 = bundle_adjust_partial_reconstruction(
+        dataclasses.replace(base, mesh=make_mesh(8)), *free, r2
+    )
+    assert bool(s1.success) and bool(s2.success)
+    np.testing.assert_allclose(
+        float(r2.intrinsics[0, 0]), float(r1.intrinsics[0, 0]), rtol=1e-6
+    )
+
+
+def test_global_estimator_on_mesh(rng):
+    """Estimator-level multi-device run: the full global pipeline with
+    `ReconstructionEstimatorOptions.mesh` set, on the 8-device CPU mesh."""
+    from pytheiasfm_tpu.pipelines import synthetic_global as sg
+    from pytheiasfm_tpu.sfm.estimator_options import (
+        ReconstructionEstimatorOptions,
+        ReconstructionEstimatorType,
+    )
+    from pytheiasfm_tpu.sfm.reconstruction_estimator import (
+        create_reconstruction_estimator,
+    )
+    from pytheiasfm_tpu.transforms.alignment import align_point_clouds_umeyama
+
+    recon, graph, gt_positions = sg.build_scene(
+        V=24, T=900, obs_per_track=6, neighborhood=8, seed=4,
+        min_shared_tracks=10,
+    )
+    options = ReconstructionEstimatorOptions(
+        reconstruction_estimator_type=ReconstructionEstimatorType.GLOBAL,
+        mesh=make_mesh(8),
+        max_num_iterations=30,
+    )
+    estimator = create_reconstruction_estimator(options)
+    summary = estimator.estimate(graph, recon)
+    assert summary.success
+    est_ids = [v for v in range(recon.num_views()) if recon.view_estimated[v]]
+    assert len(est_ids) >= 20
+    est = recon.view_extrinsics[est_ids, :3]
+    gt = gt_positions[est_ids]
+    Ra, ta, s = align_point_clouds_umeyama(est, gt)
+    aligned = s * est @ np.asarray(Ra).T + np.asarray(ta)
+    err = np.linalg.norm(aligned - gt, axis=-1)
+    assert np.median(err) < 0.05, np.median(err)
