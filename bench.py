@@ -204,6 +204,88 @@ def bench_ba(obs_per_track=6):
     return elapsed, iters, summary, cost, mixed
 
 
+def bench_ba_free_intrinsics(obs_per_track=6):
+    """Reference-DEFAULT BA configuration at Notre-Dame scale: free
+    focal length + radial distortion (`reconstruction_estimator_options.h:
+    281-284`) from an off-truth focal start, on the rowchunk
+    iterative-Schur kernel with exact intrinsics elimination. Closes the
+    round-3 'flattered configuration' gap: the headline dense-kernel row
+    freezes intrinsics; this row prices the configuration the reference
+    actually benchmarks with."""
+    import jax.numpy as jnp
+
+    from pytheiasfm_tpu.ba import (
+        BundleAdjustmentOptions,
+        bundle_adjust_iterative,
+    )
+    from pytheiasfm_tpu.ba.entry import _rowchunk_layout
+    from pytheiasfm_tpu.models.intrinsics import (
+        CameraIntrinsicsModelType as M,
+        OptimizeIntrinsicsType as OI,
+        intrinsics_subset_mask,
+    )
+
+    prob = build_problem(obs_per_track=obs_per_track)
+    T, L, V = prob["T"], obs_per_track, prob["V"]
+    tv = np.asarray(prob["obs_view"]).reshape(T, L)
+    mask = np.asarray(prob["obs_mask"]).reshape(T, L)
+    rc = _rowchunk_layout(dict(track_views=tv, mask=mask), V)
+    P = prob["intrinsics"].shape[1]
+    flags = OI.FOCAL_LENGTH | OI.RADIAL_DISTORTION
+    ifree = np.zeros((1, P), bool)
+    ifree[0] = intrinsics_subset_mask(int(M.PINHOLE), flags)[:P]
+    intr0 = np.asarray(prob["intrinsics"]).copy()
+    intr0[0, 0] *= 1.03  # 3% focal error to optimize away
+    iters = 30
+    options = BundleAdjustmentOptions(
+        max_num_iterations=iters,
+        function_tolerance=0.0,
+        intrinsics_to_optimize=flags,
+    )
+    args = (
+        prob["extrinsics"], jnp.asarray(intr0), prob["points"],
+        prob["view_group"], prob["group_model_idx"],
+        jnp.asarray(tv),
+        prob["obs_uv"].reshape(T, L, 2),
+        prob["obs_sqrt_info"].reshape(T, L, 2),
+        jnp.asarray(mask),
+        jnp.asarray(rc["row_view"]), jnp.asarray(rc["rc_src"]),
+        jnp.asarray(rc["rc_mask"]),
+        prob["camera_free"], prob["point_free"], jnp.asarray(ifree),
+    )
+    kw = dict(
+        present_models=(int(M.PINHOLE),),
+        num_views=V, num_tracks=T, max_track_len=L,
+        num_rows=rc["R"], row_chunk=rc["C"], num_groups=1,
+        options=options,
+    )
+
+    def run():
+        out = bundle_adjust_iterative(*args, **kw)
+        np.asarray(out[0])
+        np.asarray(out[2])
+        return out
+
+    out = run()  # compile
+    t0 = time.perf_counter()
+    out = run()
+    elapsed = time.perf_counter() - t0
+    return elapsed, iters, out[3], float(np.asarray(out[1])[0, 0])
+
+
+def bench_pipeline_2152():
+    """Piccadilly-scale (2152 views / 100k tracks) global pipeline, run
+    twice (run 2 = post-compile), in the calibrated configuration (the
+    synthetic scene carries exact priors and zero distortion — the
+    reference's own guidance for known calibration). Baselines:
+    Piccadilly R 49.56 / t 129.21 / BA 72.26 / total 330.33 s
+    (performance.md:62)."""
+    from pytheiasfm_tpu.pipelines import synthetic_global as sg
+
+    sg.run(V=2152, T=100_000, seed=0, calibrated=True)
+    return sg.run(V=2152, T=100_000, seed=0, calibrated=True)
+
+
 def bench_matching(n_desc=4096, dim=128, pairs=8, reps=20):
     """Matched pairs/s/chip: image pairs fully matched per second (4096x4096
     descriptors each, Lowe ratio + symmetric check) + raw descriptor-pair
@@ -322,6 +404,10 @@ def main():
 
     enable_persistent_cache()
     elapsed, iters, summary, cost, mixed = bench_ba()
+    try:
+        free = bench_ba_free_intrinsics()
+    except Exception:
+        free = None
     match = bench_matching()
     try:
         fount = bench_fountain()
@@ -331,6 +417,10 @@ def main():
         gp = bench_global_pipeline()
     except Exception:
         gp = None
+    try:
+        gp2152 = bench_pipeline_2152()
+    except Exception:
+        gp2152 = None
 
     baseline_s = 196.22  # Notre Dame BA, Ceres CPU (BASELINE.md)
     result = {
@@ -361,10 +451,21 @@ def main():
         result["matcher_pallas_max_dist_delta"] = round(
             match["parity"]["max_dist_delta"], 5
         )
+    if free is not None:
+        f_elapsed, f_iters, f_summary, f_focal = free
+        result["ba_free_intrinsics_wallclock"] = round(f_elapsed, 4)
+        result["ba_free_intrinsics_vs_baseline"] = round(
+            baseline_s / f_elapsed, 2
+        )
+        result["ba_free_intrinsics_final_cost"] = float(f_summary.final_cost)
+        result["ba_free_intrinsics_recovered_focal"] = round(f_focal, 2)
     if fount is not None:
         # vs the reference's 1.76 s total (performance.md:20); post-compile
         # run is the headline, first run shows the one-time compile cost.
         result["fountain_t_total_s"] = round(fount["second"]["t_total_s"], 2)
+        result["fountain_dispatch_total"] = int(
+            fount["second"].get("dispatch_total", 0)
+        )
         result["fountain_t_total_first_run_s"] = round(
             fount["first"]["t_total_s"], 2
         )
@@ -395,6 +496,31 @@ def main():
         )
         result["global_median_pos_err_m"] = round(gp["median_pos_err"], 4)
         result["global_views"] = f"{gp['views']}/{gp['views_total']}"
+    if gp2152 is not None:
+        # Piccadilly-scale ladder row (round-3 blind spot: the driver only
+        # tracked the 553-view scale while 2152-view BA was below baseline).
+        result["pipeline2152_total_s"] = round(gp2152["t_total_s"], 2)
+        result["pipeline2152_vs_baseline"] = round(
+            330.33 / max(gp2152["t_total_s"], 1e-9), 2
+        )
+        result["pipeline2152_rotation_s"] = round(gp2152["t_rotation_s"], 2)
+        result["pipeline2152_rotation_vs_baseline"] = round(
+            49.56 / max(gp2152["t_rotation_s"], 1e-9), 2
+        )
+        result["pipeline2152_position_s"] = round(gp2152["t_position_s"], 2)
+        result["pipeline2152_position_vs_baseline"] = round(
+            129.21 / max(gp2152["t_position_s"], 1e-9), 2
+        )
+        result["pipeline2152_ba_s"] = round(gp2152["t_ba_s"], 2)
+        result["pipeline2152_ba_vs_baseline"] = round(
+            72.26 / max(gp2152["t_ba_s"], 1e-9), 2
+        )
+        result["pipeline2152_median_pos_err_m"] = round(
+            gp2152["median_pos_err"], 4
+        )
+        result["pipeline2152_views"] = (
+            f"{gp2152['views']}/{gp2152['views_total']}"
+        )
     if mixed is not None:
         result["ba_mixed_precision_wallclock"] = round(mixed["elapsed"], 4)
         result["ba_mixed_precision_vs_baseline"] = round(

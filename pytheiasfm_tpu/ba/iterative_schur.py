@@ -164,6 +164,21 @@ def _bundle_adjust_iterative_impl(
     # intrinsics in the PCG state.
     exact_elim = has_intr and G == 1
     joint_intr = has_intr and G > 1
+    # Two-level preconditioner (large problems): block-Jacobi kills local
+    # error but leaves the long-wavelength camera modes of weakly-connected
+    # graphs nearly untouched — measured on the 2152-camera ring, PCG ran
+    # its full budget every LM iteration and TRUNCATING it collapsed
+    # accuracy (7.8 mm -> 139 mm). The coarse level aggregates runs of
+    # `_COARSE_GROUP` consecutive views (container order ~ capture order,
+    # so aggregation preserves locality), materializes the EXACT coarse
+    # Schur complement R^T S~ R with the dense-Schur placement product at
+    # Vc = V/16 resolution (tiny), Cholesky-factors it once per LM
+    # iteration, and adds the coarse solve to the Jacobi preconditioner
+    # (additive two-level Schwarz). Gated on problem size so small
+    # problems keep exact trajectory parity with the flat kernel.
+    use_coarse = V >= 1024
+    _COARSE_GROUP = 16
+    Vc = -(-V // _COARSE_GROUP)
 
     if camera_free.ndim == 1:
         camera_free = camera_free[..., None]
@@ -180,6 +195,9 @@ def _bundle_adjust_iterative_impl(
     group_oh = _onehot(view_group, G, dtype)  # [G, V]
     group_slot = view_group[track_views]  # [T, L]
     model_idx_slot = group_model_idx[group_slot]  # [T, L]
+    if use_coarse:
+        coarse_slot = track_views // _COARSE_GROUP  # [T, L]
+        coarse_of_view = jnp.arange(V, dtype=jnp.int32) // _COARSE_GROUP
     rc_m = rc_mask.astype(dtype)
     maskf = obs_mask.astype(dtype)  # [T, L]
     cam_free_slot = cam_free[track_views][:, :, None, :]  # [T,L,1,6]
@@ -361,6 +379,8 @@ def _bundle_adjust_iterative_impl(
         M_slot = (U_slot - _abt(Y, W)).reshape(T, L, 36)
         w0_slot = _av(Y, bp[:, None])
         packs = [M_slot, a_slot, d_slot, w0_slot]
+        if use_coarse:
+            packs.append(U_slot.reshape(T, L, 36))
         if has_intr:
             JiX = _atb(Ji_t, X[..., 6:])
             Wi = JiX[..., :K]  # [T,L,P,K]
@@ -428,12 +448,17 @@ def _bundle_adjust_iterative_impl(
         a_v = red[:, 36:42]
         Dc = red[:, 42:48]
         w0_v = red[:, 48:54]
+        off = 54
+        if use_coarse:
+            Uv = red[:, off : off + 36].reshape(V, 6, 6)
+            off += 36
 
         bc = -a_v
         if J_pr is not None:
+            pr_blocks = jnp.einsum("vri,vrj->vij", J_pr, J_pr)
             bc = bc - jnp.einsum("vri,vr->vi", J_pr, r_pr)
             Dc = Dc + jnp.einsum("vri,vri->vi", J_pr, J_pr)
-            Mv = Mv + jnp.einsum("vri,vrj->vij", J_pr, J_pr)
+            Mv = Mv + pr_blocks
         Dc = jnp.maximum(Dc, 1e-6)
         gc = bc - w0_v
 
@@ -445,7 +470,7 @@ def _bundle_adjust_iterative_impl(
         )
 
         if exact_elim:
-            Bv = red[:, 54 : 54 + 6 * P].reshape(V, 6, P)
+            Bv = red[:, off : off + 6 * P].reshape(V, 6, P)
             Sq_d = (
                 Sq1
                 + mu * (eyeP * Di1[None, :])
@@ -463,7 +488,7 @@ def _bundle_adjust_iterative_impl(
             # Preconditioner = the exact diagonal block of S~.
             Mv = Mv - jnp.einsum("vip,pq,vjq->vij", Bv, Sq_inv1, Bv)
         elif joint_intr:
-            gi = views_to_groups(red[:, 54:])
+            gi = views_to_groups(red[:, off:])
             Mg = gi[:, : P * P].reshape(G, P, P)
             bi = -gi[:, P * P : P * P + P]
             Di = jnp.maximum(gi[:, P * P + P : P * P + 2 * P], 1e-6)
@@ -478,6 +503,58 @@ def _bundle_adjust_iterative_impl(
 
         # Schur-Jacobi preconditioner blocks.
         Mv_inv = inv_small_spd(Mv, 6)
+
+        if use_coarse:
+            # Coarse level: Sc = R^T S~ R materialized exactly at Vc
+            # resolution with the dense-Schur placement product, then
+            # Cholesky-factored (6Vc is a few hundred — trivial on MXU).
+            Nc = 6 * Vc
+            # Block-diagonal-over-views part: U + damping + frozen (+
+            # priors), aggregated per coarse group.
+            diag_v = (
+                Uv
+                + mu * (eye6 * Dc[..., None, :])
+                + (1.0 - cam_free)[..., None, :] * eye6
+                + 1e-8 * eye6
+            )
+            if J_pr is not None:
+                diag_v = diag_v + pr_blocks
+            coarse_oh = _onehot(coarse_of_view, Vc, dtype)  # [Vc, V]
+            Sc4 = jnp.einsum(
+                "cv,vij->cij", coarse_oh, diag_v
+            )  # [Vc,6,6] diagonal blocks
+            Sc = jnp.zeros((Vc, 6, Vc, 6), dtype)
+            arc = jnp.arange(Vc)
+            Sc = Sc.at[arc, :, arc, :].set(Sc4)
+            # Off-diagonal (all slot pairs): -(R^T W) V^-1 (W^T R) via the
+            # placement product over track chunks.
+            place_dims = (((1,), (1,)), ((0,), (0,)))
+            prod_dims = (((0, 3), (0, 3)), ((), ()))
+            TC = 16384
+            for c in range(-(-T // TC)):
+                lo = c * TC
+                hi = min(T, lo + TC)
+                ohc = (
+                    coarse_slot[lo:hi, :, None]
+                    == jnp.arange(Vc, dtype=jnp.int32)[None, None, :]
+                ).astype(dtype)
+                Wx = jax.lax.dot_general(
+                    ohc, W[lo:hi], place_dims, preferred_element_type=dtype
+                )  # [Tc, Vc, 6, K]
+                Zx = jax.lax.dot_general(
+                    ohc, Y[lo:hi], place_dims, preferred_element_type=dtype
+                )
+                Sc = Sc - jax.lax.dot_general(
+                    Zx, Wx, prod_dims, preferred_element_type=dtype
+                )
+            if exact_elim:
+                Bc = jnp.einsum("cv,vip->cip", coarse_oh, Bv)  # [Vc,6,P]
+                Sc = Sc - jnp.einsum(
+                    "cip,pq,djq->cidj", Bc, Sq_inv1, Bc
+                )
+            Sc = Sc.reshape(Nc, Nc)
+            Sc = 0.5 * (Sc + Sc.T) + 1e-7 * jnp.eye(Nc, dtype=dtype)
+            chol_c = jnp.linalg.cholesky(Sc)
 
         # Matvec operands (bf16 under mixed precision: the matvec is
         # bandwidth-bound, halving operand bytes ~halves its wall-clock).
@@ -533,6 +610,12 @@ def _bundle_adjust_iterative_impl(
 
         def precond(xs):
             pc = jnp.einsum("vij,vj->vi", Mv_inv, xs[0])
+            if use_coarse:
+                rc = jnp.einsum("cv,vi->ci", coarse_oh, xs[0])
+                zc = jax.scipy.linalg.cho_solve(
+                    (chol_c, True), rc.reshape(-1)
+                ).reshape(Vc, 6)
+                pc = pc + zc[coarse_of_view]
             if joint_intr:
                 return (pc, jnp.einsum("gij,gj->gi", Mg_inv, xs[1]))
             return (pc,)

@@ -920,9 +920,12 @@ def run_launch_chunked(impl, state, options: BundleAdjustmentOptions):
     mu = None
     first_initial = None
     summary = None
+    from ..utils import counters
+
     while done < total:
         chunk = min(cap, total - done)
         chunk_options = _dc.replace(options, max_num_iterations=chunk)
+        counters.bump("ba_launch")
         state, summary = impl(state, chunk_options, mu)
         n = int(summary.num_iterations)
         done += n

@@ -12,11 +12,14 @@ with an on-device implementation:
               4x4 spatial x 8 orientation bins with bilinear soft
               assignment as one einsum, SIFT normalize-clip-renormalize
 
-"Upright" = no dominant-orientation assignment (rotation invariance is
-unnecessary for the level-horizon photo collections SfM targets; the
-reference pipelines likewise default to upright matching for rig and
-sequence data). Every stage is jitted with static image shape, so a
-dataset resized to one resolution compiles exactly once.
+Orientation: `SiftParams.upright=True` (default) skips dominant-orientation
+assignment — cheapest, and right for the level-horizon photo collections
+SfM targets. `upright=False` adds the 36-bin gradient-histogram dominant
+orientation + rotated descriptor sampling (full in-plane rotation
+invariance, like the reference pipelines' OpenCV SIFT); quality asserted
+pixels-to-pose in `tests/test_sift_quality.py`. Every stage is jitted with
+static image shape, so a dataset resized to one resolution compiles
+exactly once.
 """
 
 from __future__ import annotations
@@ -40,6 +43,12 @@ class SiftParams:
     edge_ratio: float = 10.0
     max_features_per_octave: int = 1024
     descriptor_patch: int = 16  # 16x16 gradient window -> 4x4x8 = 128-D
+    # True (default): axis-aligned descriptors — cheaper, right for
+    # level-horizon collections. False: dominant-orientation assignment
+    # (36-bin gradient histogram) + rotated descriptor sampling — full
+    # in-plane rotation invariance like the reference pipelines' OpenCV
+    # SIFT (`pytests/sfm_pipeline.py` cv2.SIFT_create).
+    upright: bool = True
 
 
 def load_grayscale(path: str, max_dim: int | None = 1024) -> np.ndarray:
@@ -125,8 +134,9 @@ def _octave_keypoints(dogs, params: SiftParams):
     det = dxx * dyy - dxy * dxy
     edge_ok = (det > 0) & (tr * tr / jnp.where(det <= 0, 1.0, det) < r_edge)
 
-    # Mask borders (descriptor window + neighbor shifts must stay inside).
-    b = params.descriptor_patch // 2 + 2
+    # Mask borders (descriptor window + neighbor shifts must stay inside;
+    # rotated sampling reads a sqrt(2)-larger window).
+    b = params.descriptor_patch // 2 + (2 if params.upright else 6)
     ys = jnp.arange(H)
     xs = jnp.arange(W)
     inside = (
@@ -176,13 +186,22 @@ def _descriptors(gauss, yx, lvl, params: SiftParams):
     ).reshape(P * P, 16)
     Wspat = jnp.asarray(Wspat, jnp.float32)
 
-    def one(yxi, li):
-        lv = jnp.clip(li + 1, 0, gauss.shape[0] - 1)  # matching Gaussian
-        y0 = yxi[0] - half
-        x0 = yxi[1] - half
-        m = jax.lax.dynamic_slice(mag[lv], (y0, x0), (P, P)).reshape(-1)
-        a = jax.lax.dynamic_slice(ang[lv], (y0, x0), (P, P)).reshape(-1)
-        # 8 orientation bins, bilinear in angle.
+    # Rotated-sampling support (upright=False): a sqrt(2)-sized window and
+    # the descriptor grid offsets, rotated per keypoint at trace time.
+    S = P + 8
+    halfS = S // 2
+    g_off = jnp.asarray(
+        np.arange(P, dtype=np.float32) - (P - 1) / 2.0
+    )
+    uu, vv = jnp.meshgrid(g_off, g_off, indexing="ij")  # [P,P] (dy, dx)
+    gS = np.arange(S, dtype=np.float64) - (S - 1) / 2.0
+    ori_w = np.exp(-0.5 * (gS / (0.5 * P)) ** 2)
+    OriW = jnp.asarray(
+        (ori_w[:, None] * ori_w[None, :]).astype(np.float32)
+    )
+
+    def _finish(m, a):
+        """m, a [P*P] -> 128-D descriptor (shared tail of both paths)."""
         binf = (a + jnp.pi) / (2 * jnp.pi) * 8.0 - 0.5
         b0 = jnp.floor(binf)
         frac = binf - b0
@@ -198,6 +217,72 @@ def _descriptors(gauss, yx, lvl, params: SiftParams):
         d = jnp.minimum(d, 0.2)
         return d / jnp.maximum(jnp.linalg.norm(d), 1e-12)
 
+    def one_upright(yxi, li):
+        lv = jnp.clip(li + 1, 0, gauss.shape[0] - 1)  # matching Gaussian
+        y0 = yxi[0] - half
+        x0 = yxi[1] - half
+        m = jax.lax.dynamic_slice(mag[lv], (y0, x0), (P, P)).reshape(-1)
+        a = jax.lax.dynamic_slice(ang[lv], (y0, x0), (P, P)).reshape(-1)
+        return _finish(m, a)
+
+    def one_oriented(yxi, li):
+        lv = jnp.clip(li + 1, 0, gauss.shape[0] - 1)
+        y0 = yxi[0] - halfS
+        x0 = yxi[1] - halfS
+        dxw = jax.lax.dynamic_slice(dx[lv], (y0, x0), (S, S))
+        dyw = jax.lax.dynamic_slice(dy[lv], (y0, x0), (S, S))
+
+        # Dominant orientation: 36-bin Gaussian-weighted histogram of the
+        # window gradients, circularly smoothed (Lowe Sec. 5).
+        mw = jnp.sqrt(dxw * dxw + dyw * dyw) * OriW
+        aw = jnp.arctan2(dyw, dxw)
+        bins = jnp.mod(
+            jnp.floor((aw + jnp.pi) / (2 * jnp.pi) * 36.0).astype(jnp.int32),
+            36,
+        )
+        hist = jnp.zeros((36,), dxw.dtype).at[bins.reshape(-1)].add(
+            mw.reshape(-1)
+        )
+        for _ in range(2):
+            hist = (
+                hist * 6.0
+                + (jnp.roll(hist, 1) + jnp.roll(hist, -1)) * 4.0
+                + (jnp.roll(hist, 2) + jnp.roll(hist, -2))
+            ) / 16.0
+        theta = (jnp.argmax(hist).astype(dxw.dtype) + 0.5) / 36.0 * (
+            2 * jnp.pi
+        ) - jnp.pi
+        cs, sn = jnp.cos(theta), jnp.sin(theta)
+
+        # Sample the gradient field on the theta-rotated grid (bilinear)
+        # and rotate the gradient vectors into the keypoint frame.
+        ys = cs * uu - sn * vv + (S - 1) / 2.0
+        xs = sn * uu + cs * vv + (S - 1) / 2.0
+        yf = jnp.clip(jnp.floor(ys).astype(jnp.int32), 0, S - 2)
+        xf = jnp.clip(jnp.floor(xs).astype(jnp.int32), 0, S - 2)
+        fy = jnp.clip(ys - yf, 0.0, 1.0)
+        fx = jnp.clip(xs - xf, 0.0, 1.0)
+
+        def samp(img2):
+            v00 = img2[yf, xf]
+            v01 = img2[yf, xf + 1]
+            v10 = img2[yf + 1, xf]
+            v11 = img2[yf + 1, xf + 1]
+            return (
+                v00 * (1 - fy) * (1 - fx)
+                + v01 * (1 - fy) * fx
+                + v10 * fy * (1 - fx)
+                + v11 * fy * fx
+            )
+
+        dxs, dys = samp(dxw), samp(dyw)
+        dxr = cs * dxs + sn * dys
+        dyr = -sn * dxs + cs * dys
+        m = jnp.sqrt(dxr * dxr + dyr * dyr).reshape(-1)
+        a = jnp.arctan2(dyr, dxr).reshape(-1)
+        return _finish(m, a)
+
+    one = one_upright if params.upright else one_oriented
     return jax.vmap(one)(yx, lvl)
 
 

@@ -73,3 +73,24 @@ def global_mesh(axis_name: str = "data"):
     from jax.sharding import Mesh
 
     return Mesh(np.asarray(jax.devices()), (axis_name,))
+
+
+def global_mesh_2d(axis_names=("host", "chip")):
+    """2-D (hosts x chips-per-host) mesh over the global device set: the
+    `host` axis crosses DCN, the `chip` axis stays on ICI. Shard
+    bandwidth-hungry axes over `chip` and latency-tolerant ones over
+    `host` (the scaling-book recipe: collectives ride ICI, not DCN).
+    Requires every process to contribute the same local device count."""
+    import jax
+    from jax.sharding import Mesh
+
+    devs = jax.devices()
+    nproc = jax.process_count()
+    per_host = len(devs) // nproc
+    if per_host * nproc != len(devs):
+        raise ValueError(
+            f"uneven device distribution: {len(devs)} devices over "
+            f"{nproc} processes"
+        )
+    grid = np.asarray(devs).reshape(nproc, per_host)
+    return Mesh(grid, tuple(axis_names))

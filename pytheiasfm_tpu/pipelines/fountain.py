@@ -197,9 +197,12 @@ def build_view_graph(recon, seed=0, min_inliers=30, max_ransac_iterations=256):
     opts = EstimateTwoViewInfoOptions(max_ransac_iterations=max_ransac_iterations)
     key = jax.random.PRNGKey(seed)
     results = []
+    from ..utils import counters
+
     for c in range(n_chunks):
         lo, hi = c * chunk, (c + 1) * chunk
         key, sub = jax.random.split(key)
+        counters.bump("verify_chunk")
         results.extend(
             estimate_two_view_info_batch(
                 sub, opts, priors1[lo:hi], priors2[lo:hi],
@@ -267,6 +270,9 @@ def evaluate(
     """One full tracks->reconstruction->ATE run with per-phase timings."""
     from ..io.theia_recon import read_theia_reconstruction
 
+    from ..utils import counters
+
+    counters.reset()
     t_all = time.perf_counter()
     recon = _base_recon if _base_recon is not None else load_fountain(fountain_path)
     gt = read_theia_reconstruction(gt_path)
@@ -282,6 +288,8 @@ def evaluate(
 
     err_mm, n_est = sim3_ate_mm(recon, gt)
     return dict(
+        dispatch_counts=counters.snapshot(),
+        dispatch_total=counters.total(),
         median_mm=float(np.median(err_mm)),
         mean_mm=float(np.mean(err_mm)),
         max_mm=float(np.max(err_mm)),

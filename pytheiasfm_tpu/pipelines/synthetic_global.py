@@ -172,9 +172,18 @@ def build_scene(
     return recon, graph, positions
 
 
-def run(V=553, T=50_000, seed=0, estimator_type="global"):
+def run(V=553, T=50_000, seed=0, estimator_type="global", calibrated=False):
     """Build the scene and run the global estimator; returns phase times,
-    accuracy, and counts (one dict)."""
+    accuracy, and counts (one dict).
+
+    `calibrated=True` holds intrinsics constant (XYZW tracks): the
+    synthetic scene carries EXACT calibration priors and zero distortion,
+    and the reference's own guidance for accurately known calibration is
+    constant intrinsics (`reconstruction_estimator_options.h:277-284`).
+    The default (False) keeps the reference-default free
+    focal+radial / manifold configuration.
+    """
+    from ..ba.lm import OptimizeIntrinsicsType, TrackParametrizationType
     from ..sfm.estimator_options import (
         ReconstructionEstimatorOptions,
         ReconstructionEstimatorType,
@@ -190,6 +199,9 @@ def run(V=553, T=50_000, seed=0, estimator_type="global"):
         reconstruction_estimator_type=ReconstructionEstimatorType.GLOBAL,
         rng_seed=seed,
     )
+    if calibrated:
+        options.intrinsics_to_optimize = OptimizeIntrinsicsType.NONE
+        options.track_parametrization_type = TrackParametrizationType.XYZW
     estimator = create_reconstruction_estimator(options)
     t0 = time.perf_counter()
     summary = estimator.estimate(graph, recon)

@@ -63,33 +63,96 @@ def _reproject_kernel(ext_o, params_o, pts_o, uv_o, model: int):
     return jax.vmap(one_obs)(ext_o, params_o, pts_o, uv_o)
 
 
+@partial(
+    jax.jit,
+    static_argnames=("present_models", "num_groups"),
+)
+def _reproject_all_kernel(
+    ext, intrinsics, pts4, obs_view, obs_track, uv, obs_group,
+    model_idx, present_models: tuple, num_groups: int,
+):
+    """(squared error, depth) for EVERY observation row. All gathers run
+    on device: the per-call host->device upload is only the parameter
+    state ([V,6] + [G,P] + [T,4]), the constant observation table is
+    cached on device by `compute_reprojection_errors`."""
+    from ..ba.lm import _pixel_of
+
+    e6 = ext[obs_view]
+    q = intrinsics[obs_group]
+    p4 = pts4[obs_track]
+    w = p4[:, 3:4]
+    p3 = p4[:, :3] / jnp.where(jnp.abs(w) < 1e-12, 1.0, w)
+
+    def one_obs(e6, q, x3, uv, idx):
+        adjusted = x3 - e6[:3]
+        p_cam = rotops.angle_axis_rotate_point(e6[3:], adjusted)
+        pixel = _pixel_of(q, p_cam, present_models, idx)
+        return jnp.sum((pixel - uv) ** 2), p_cam[2]
+
+    return jax.vmap(one_obs)(e6, q, p3, uv, model_idx)
+
+
+# Device cache of the constant observation table per reconstruction: the
+# table never changes inside an estimator's BA loop, and re-uploading the
+# gathered 600k-row arrays every outlier pass cost ~2 s per round through
+# this environment's TPU tunnel. Entries hold the host arrays to pin their
+# identity (id() alone can be recycled).
+_OBS_DEVICE_CACHE: dict = {}
+
+
+def _obs_device_arrays(recon):
+    key = id(recon)
+    ent = _OBS_DEVICE_CACHE.get(key)
+    if ent is not None and ent[0] is recon.obs_view:
+        return ent[1]
+    groups = recon.view_group[recon.obs_view]
+    present = tuple(sorted({int(m) for m in recon.group_model} or {0}))
+    midx = np.asarray(
+        [present.index(int(m)) for m in recon.group_model], np.int32
+    )[groups]
+    arrays = (
+        jnp.asarray(recon.obs_view),
+        jnp.asarray(recon.obs_track),
+        jnp.asarray(np.asarray(recon.obs_uv, recon.dtype)),
+        jnp.asarray(groups),
+        jnp.asarray(midx),
+        present,
+    )
+    _OBS_DEVICE_CACHE.clear()  # one pipeline at a time; bound the cache
+    _OBS_DEVICE_CACHE[key] = (recon.obs_view, arrays)
+    return arrays
+
+
 def compute_reprojection_errors(recon, rows: np.ndarray | None = None):
-    """Squared pixel reprojection error + depth per observation row,
-    batched by intrinsics group (one compile per camera model)."""
-    if rows is None:
-        rows = np.arange(recon.num_observations())
-    rows = np.asarray(rows)
-    err = np.full((len(rows),), np.inf, recon.dtype)
-    depth = np.zeros((len(rows),), recon.dtype)
-    if len(rows) == 0:
-        return err, depth
-    views = recon.obs_view[rows]
-    tracks = recon.obs_track[rows]
-    groups = recon.view_group[views]
-    w = recon.points[tracks][:, 3:4]
-    pts3 = recon.points[tracks][:, :3] / np.where(np.abs(w) < 1e-12, 1.0, w)
-    for g in np.unique(groups):
-        sel = groups == g
-        e, d = _reproject_kernel(
-            jnp.asarray(recon.view_extrinsics[views[sel]]),
-            jnp.asarray(np.broadcast_to(recon.intrinsics[g], (int(sel.sum()), recon.intrinsics.shape[1]))),
-            jnp.asarray(pts3[sel]),
-            jnp.asarray(recon.obs_uv[rows[sel]]),
-            int(recon.group_model[g]),
+    """Squared pixel reprojection error + depth per observation row.
+
+    Computes ALL rows in one fixed-shape device launch (per-call upload =
+    current extrinsics + points only) and slices on host — variable `rows`
+    subsets would otherwise recompile per unique selection size."""
+    from ..utils import counters
+
+    if recon.num_observations() == 0:
+        rows = np.asarray([], np.int64) if rows is None else np.asarray(rows)
+        return (
+            np.full((len(rows),), np.inf, recon.dtype),
+            np.zeros((len(rows),), recon.dtype),
         )
-        err[sel] = np.asarray(e)
-        depth[sel] = np.asarray(d)
-    return err, depth
+    ov, ot, uv_d, grp_d, midx_d, present = _obs_device_arrays(recon)
+    counters.bump("reproject_launch")
+    e, d = _reproject_all_kernel(
+        jnp.asarray(np.asarray(recon.view_extrinsics, recon.dtype)),
+        jnp.asarray(np.asarray(recon.intrinsics, recon.dtype)),
+        jnp.asarray(np.asarray(recon.points, recon.dtype)),
+        ov, ot, uv_d, grp_d, midx_d,
+        present_models=present,
+        num_groups=recon.intrinsics.shape[0],
+    )
+    err_all = np.asarray(e)
+    depth_all = np.asarray(d)
+    if rows is None:
+        return err_all, depth_all
+    rows = np.asarray(rows)
+    return err_all[rows], depth_all[rows]
 
 
 def set_outlier_tracks_to_unestimated(

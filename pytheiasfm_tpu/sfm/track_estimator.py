@@ -259,6 +259,9 @@ def estimate_tracks(
         slot_mask[i, :k] = True
         cursor += k
 
+    from ..utils import counters
+
+    counters.bump("triangulate_launch")
     points4, success = triangulate_tracks(
         jnp.asarray(track_ext),
         jnp.asarray(track_uv),

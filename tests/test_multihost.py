@@ -117,6 +117,53 @@ out = sharded_segment_sum(gv, gi, 5, mesh)
 ref = np.zeros((5, 1))
 np.add.at(ref, ids, vals)
 np.testing.assert_allclose(np.asarray(out), ref)
+
+# 2-D hosts x chips mesh: psum over BOTH axes = global sum.
+mesh2 = multihost.global_mesh_2d()
+assert dict(mesh2.shape) == {"host": 2, "chip": 2}, mesh2.shape
+
+@partial(shard_map, mesh=mesh2, in_specs=P(("host", "chip")), out_specs=P())
+def total2(x):
+    return jax.lax.psum(jnp.sum(x), ("host", "chip"))
+
+g2 = jax.make_array_from_process_local_data(
+    NamedSharding(mesh2, P(("host", "chip"))),
+    np.arange(16.0)[idx * 8:(idx + 1) * 8], (16,),
+)
+np.testing.assert_allclose(np.asarray(total2(g2)), np.arange(16.0).sum())
+
+# A REAL BA step across the two processes: the dense-Schur kernel with
+# its explicit shard_map+psum Schur product on the global mesh, against
+# the single-process (mesh=None) solve of the identical problem.
+import sys as _sys
+_sys.path.insert(0, "{repo}/tests")
+os.environ.setdefault("XLA_FLAGS", "")
+import numpy as _np
+rng = _np.random.default_rng(7)
+from test_dense_schur import _make_problem
+from pytheiasfm_tpu.ba import BundleAdjustmentOptions, bundle_adjust_dense
+from pytheiasfm_tpu.models.intrinsics import CameraIntrinsicsModelType as M
+p = _make_problem(rng, T=64, dtype=np.float64)  # T divides the 4-device mesh
+V, T, L = p["V"], p["T"], p["L"]
+options = BundleAdjustmentOptions(max_num_iterations=8)
+def run(mesh_arg):
+    return bundle_adjust_dense(
+        jnp.asarray(p["ext"]), jnp.asarray(p["intr"]), jnp.asarray(p["pts"]),
+        jnp.asarray(p["view_group"]), jnp.asarray(p["group_model_idx"]),
+        jnp.asarray(p["track_views"]),
+        jnp.asarray(p["uv"].reshape(T, L, 2)),
+        jnp.asarray(p["info"].reshape(T, L, 2)),
+        jnp.asarray(p["mask"].reshape(T, L)),
+        jnp.asarray(p["cam_free"]), jnp.asarray(p["pt_free"]),
+        present_models=(int(M.PINHOLE),), num_views=V, num_tracks=T,
+        max_track_len=L, num_groups=1, options=options, mesh=mesh_arg,
+    )
+e_m, _, p_m, s_m = run(mesh)
+e_s, _, p_s, s_s = run(None)
+np.testing.assert_allclose(np.asarray(e_m), np.asarray(e_s), atol=1e-8)
+np.testing.assert_allclose(
+    float(s_m.final_cost), float(s_s.final_cost), rtol=1e-8, atol=1e-18
+)
 print("OK process", idx)
 """
 

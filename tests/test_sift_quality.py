@@ -1,0 +1,179 @@
+"""Quantitative SIFT quality: pixels -> matches -> verified geometry.
+
+VERDICT r3 #4: the images pipeline needed accuracy EVIDENCE, not just
+"it produces tracks". These tests warp a synthetic textured image by a
+KNOWN homography, run the full detect -> describe -> ratio/symmetric
+match path, and assert (a) the inlier rate of matches against the known
+warp and (b) that RANSAC recovers the homography itself — mirroring the
+reference pipelines' reliance on OpenCV SIFT quality
+(`pytests/sfm_pipeline.py:175-230`).
+"""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from pytheiasfm_tpu.features.sift import SiftParams, detect_and_describe
+from pytheiasfm_tpu.matching.brute_force import match_descriptor_pair
+
+
+def _smooth(img, passes=3):
+    """Separable box blur (numpy-only)."""
+    k = np.ones(5) / 5.0
+    for _ in range(passes):
+        img = np.apply_along_axis(
+            lambda r: np.convolve(r, k, mode="same"), 0, img
+        )
+        img = np.apply_along_axis(
+            lambda r: np.convolve(r, k, mode="same"), 1, img
+        )
+    return img
+
+
+def _textured(rng, H=320, W=320):
+    """Band-limited noise + bright blobs: dense, distinctive texture."""
+    img = _smooth(rng.normal(size=(H, W)), passes=2)
+    yy, xx = np.meshgrid(np.arange(H), np.arange(W), indexing="ij")
+    for _ in range(30):
+        cy, cx = rng.uniform(20, H - 20), rng.uniform(20, W - 20)
+        s = rng.uniform(2.0, 6.0)
+        a = rng.choice([-1.0, 1.0]) * rng.uniform(1.0, 2.0)
+        img = img + a * np.exp(-((yy - cy) ** 2 + (xx - cx) ** 2) / (2 * s * s))
+    img = img - img.min()
+    return (img / img.max()).astype(np.float32)
+
+
+def _warp(img, H):
+    """Inverse bilinear warp: out(x) = img(H^-1 x)."""
+    Hh, Ww = img.shape
+    yy, xx = np.meshgrid(np.arange(Hh), np.arange(Ww), indexing="ij")
+    pts = np.stack([xx.ravel(), yy.ravel(), np.ones(xx.size)])
+    src = np.linalg.inv(H) @ pts
+    sx, sy = src[0] / src[2], src[1] / src[2]
+    x0 = np.floor(sx).astype(int)
+    y0 = np.floor(sy).astype(int)
+    fx, fy = sx - x0, sy - y0
+    valid = (x0 >= 0) & (y0 >= 0) & (x0 < Ww - 1) & (y0 < Hh - 1)
+    x0c, y0c = np.clip(x0, 0, Ww - 2), np.clip(y0, 0, Hh - 2)
+    v = (
+        img[y0c, x0c] * (1 - fx) * (1 - fy)
+        + img[y0c, x0c + 1] * fx * (1 - fy)
+        + img[y0c + 1, x0c] * (1 - fx) * fy
+        + img[y0c + 1, x0c + 1] * fx * fy
+    )
+    return np.where(valid, v, 0.0).reshape(Hh, Ww).astype(np.float32)
+
+
+def _match(img1, img2, params=None):
+    params = params or SiftParams(num_octaves=3)
+    kp1, _, d1, _ = detect_and_describe(img1, params)
+    kp2, _, d2, _ = detect_and_describe(img2, params)
+    n1, n2 = len(kp1), len(kp2)
+    N = 1 << (max(n1, n2, 2) - 1).bit_length()
+    D1 = np.zeros((N, 128), np.float32)
+    D2 = np.zeros((N, 128), np.float32)
+    D1[:n1], D2[:n2] = d1, d2
+    idx, _ = match_descriptor_pair(
+        jnp.asarray(D1),
+        jnp.asarray(D2),
+        jnp.asarray(np.arange(N) < n1),
+        jnp.asarray(np.arange(N) < n2),
+        jnp.asarray(0.8, jnp.float32),
+    )
+    idx = np.asarray(idx)
+    rows = np.nonzero(idx[:n1] >= 0)[0]
+    return kp1[rows], kp2[idx[rows]]
+
+
+def _apply_h(H, pts):
+    q = pts @ H[:, :2].T + H[:, 2]
+    return q[:, :2] / q[:, 2:3]
+
+
+def _inlier_stats(H, p1, p2, tol=3.0):
+    err = np.linalg.norm(_apply_h(H, p1) - p2, axis=1)
+    return float(np.mean(err < tol)), int(np.sum(err < tol))
+
+
+HOMOGRAPHIES = {
+    "perspective": np.array(
+        [[1.05, 0.04, -8.0], [-0.03, 0.97, 6.0], [1.2e-4, -8e-5, 1.0]]
+    ),
+    "scale_1.25x": np.array(
+        [[1.25, 0.0, -40.0], [0.0, 1.25, -40.0], [0.0, 0.0, 1.0]]
+    ),
+    "shrink_0.8x": np.array(
+        [[0.8, 0.0, 30.0], [0.0, 0.8, 30.0], [0.0, 0.0, 1.0]]
+    ),
+}
+
+
+@pytest.mark.parametrize("name", sorted(HOMOGRAPHIES))
+def test_known_homography_inlier_rate(rng, name):
+    H = HOMOGRAPHIES[name]
+    img1 = _textured(rng)
+    img2 = _warp(img1, H)
+    p1, p2 = _match(img1, img2)
+    assert len(p1) >= 60, f"{name}: only {len(p1)} matches"
+    rate, n_in = _inlier_stats(H, p1, p2)
+    assert rate >= 0.6, f"{name}: inlier rate {rate:.2f} ({n_in} inliers)"
+    assert n_in >= 50, f"{name}: {n_in} inliers"
+
+
+def test_ransac_recovers_homography(rng):
+    """detect -> match -> RANSAC H: the recovered homography must map the
+    image corners within 2 px of the ground-truth warp."""
+    import jax
+
+    from pytheiasfm_tpu.ransac.engine import RansacParameters
+    from pytheiasfm_tpu.ransac.estimators import estimate_homography
+
+    H_gt = HOMOGRAPHIES["perspective"]
+    img1 = _textured(rng)
+    img2 = _warp(img1, H_gt)
+    p1, p2 = _match(img1, img2)
+    params = RansacParameters(
+        error_thresh=9.0, max_iterations=200, min_iterations=50
+    )
+    Np = 1 << (len(p1) - 1).bit_length()
+    pad1 = np.zeros((Np, 2), np.float64)
+    pad2 = np.zeros((Np, 2), np.float64)
+    pad1[: len(p1)], pad2[: len(p2)] = p1, p2
+    mask = np.arange(Np) < len(p1)
+    H_est, summary = estimate_homography(
+        jax.random.PRNGKey(0),
+        jnp.asarray(pad1),
+        jnp.asarray(pad2),
+        params,
+        mask=jnp.asarray(mask),
+    )
+    H_est = np.asarray(H_est)
+    H_est = H_est / H_est[2, 2]
+    corners = np.array(
+        [[20.0, 20.0], [300.0, 20.0], [20.0, 300.0], [300.0, 300.0]]
+    )
+    err = np.linalg.norm(_apply_h(H_est, corners) - _apply_h(H_gt, corners), axis=1)
+    assert err.max() < 2.0, (err, H_est)
+
+
+def test_rotation_tolerance(rng):
+    """Dominant-orientation assignment makes matching survive large
+    in-plane rotation (the reference's OpenCV SIFT is rotation-invariant;
+    upright-only extraction collapses here)."""
+    th = np.deg2rad(30.0)
+    c, s = np.cos(th), np.sin(th)
+    cx = cy = 160.0
+    R = np.array(
+        [
+            [c, -s, cx - c * cx + s * cy],
+            [s, c, cy - s * cx - c * cy],
+            [0.0, 0.0, 1.0],
+        ]
+    )
+    img1 = _textured(rng)
+    img2 = _warp(img1, R)
+    params = SiftParams(num_octaves=3, upright=False)
+    p1, p2 = _match(img1, img2, params)
+    rate, n_in = _inlier_stats(R, p1, p2)
+    assert n_in >= 40, f"rotated: {n_in} inliers (rate {rate:.2f})"
+    assert rate >= 0.5, f"rotated: inlier rate {rate:.2f}"
