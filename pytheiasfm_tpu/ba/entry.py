@@ -376,6 +376,21 @@ def _run(
             jnp.asarray(a) for a in (pp, psi, pm, op, osi, om, gp, gsi, gm)
         )
 
+    # Small problems: the whole LM budget fits one launch well inside any
+    # runtime watchdog (the per-launch cap exists for LARGE kernels); a
+    # chunked launch costs ~0.2-1 s of tunnel RPC + sync each, which
+    # dominates fountain-scale wall-clock.
+    O_real = int(np.sum(prob["obs_mask"]))
+    if (
+        O_real < 200_000
+        and options.max_iterations_per_launch < options.max_num_iterations
+    ):
+        import dataclasses as _dc
+
+        options = _dc.replace(
+            options, max_iterations_per_launch=options.max_num_iterations
+        )
+
     # Solver dispatch (reference parity: Ceres SPARSE_SCHUR below
     # min_cameras_for_iterative_solver=1000, ITERATIVE_SCHUR above —
     # `reconstruction_estimator_options.h:291-300`):
@@ -402,7 +417,6 @@ def _run(
     if slot is not None and not use_dense:
         # Rowchunk kernel unless slot padding dwarfs the real problem
         # (one pathologically long track inflates every track's row).
-        O_real = int(np.sum(prob["obs_mask"]))
         if Tp * slot["L"] <= max(4 * O_real, 1 << 16):
             rowchunk = _rowchunk_layout(slot, Vp)
         if rowchunk is None:

@@ -255,9 +255,12 @@ def _descriptors(gauss, yx, lvl, params: SiftParams):
         cs, sn = jnp.cos(theta), jnp.sin(theta)
 
         # Sample the gradient field on the theta-rotated grid (bilinear)
-        # and rotate the gradient vectors into the keypoint frame.
-        ys = cs * uu - sn * vv + (S - 1) / 2.0
-        xs = sn * uu + cs * vv + (S - 1) / 2.0
+        # and rotate the gradient vectors into the keypoint frame. The
+        # grid rotation must be the SAME R(theta) (in x,y axes, theta
+        # from atan2(dy, dx)) that gradients are later derotated by —
+        # mixing conventions silently breaks rotation invariance.
+        ys = sn * vv + cs * uu + (S - 1) / 2.0
+        xs = cs * vv - sn * uu + (S - 1) / 2.0
         yf = jnp.clip(jnp.floor(ys).astype(jnp.int32), 0, S - 2)
         xf = jnp.clip(jnp.floor(xs).astype(jnp.int32), 0, S - 2)
         fy = jnp.clip(ys - yf, 0.0, 1.0)

@@ -168,10 +168,12 @@ def build_view_graph(recon, seed=0, min_inliers=30, max_ransac_iterations=256):
     # Fixed chunk geometry: every device call has the SAME (chunk, Np)
     # shape (the final chunk is padded with replicas of pair 0 and
     # discarded), so exactly one program is compiled and reused. The
-    # budget bounds the scored [pairs, hypotheses, N] tensor to ~1 GB —
-    # a 4 GB budget OOMed the 16 GB chip once RANSAC intermediates
-    # (residuals, sorting) multiplied it.
-    chunk = min(P, max(1, int(2.5e8 // (2560 * Np))))
+    # engine scores hypotheses in blocks of 256 (ransac/engine.py), so the
+    # peak live tensor is [chunk, 256, Np] — the budget bounds it to
+    # ~1 GB. Each chunk launch costs ~1.3 s of mostly-sequential RANSAC
+    # depth + tunnel RPC, so FEWER, BIGGER chunks win: fountain's 55 pairs
+    # verify in ONE launch (was 5).
+    chunk = min(P, max(1, int(2.5e8 // (256 * Np))))
     n_chunks = -(-P // chunk)
 
     pts1 = np.zeros((n_chunks * chunk, Np, 2))

@@ -251,18 +251,34 @@ def ransac(
         )
         flat_valid = flat_valid[keep_idx] & jnp.isfinite(sub_cost[keep_idx])
 
-    flat_res = jax.vmap(residuals_one)(flat_models)  # [BK, N]
-    if mask is not None:
-        flat_res = jnp.where(mask, flat_res, jnp.inf)
+    def _scored(res):
+        if mask is not None:
+            res = jnp.where(mask, res, jnp.inf)
+        if quality == "mle":
+            return _mle_cost(res, thresh)
+        if quality == "lmed":
+            return _lmed_cost(res, mask)
+        return _inlier_cost(res, thresh)
+
+    BK = flat_valid.shape[0]
+    HB = 256  # hypothesis block for scoring
+    if BK > HB and BK % HB == 0:
+        # Score hypotheses in blocks: the full residual tensor [BK, N]
+        # (x pairs under a vmapped caller) was the verification pipeline's
+        # peak-memory term — [pairs, 2560, 8192] f32 temps OOMed a 16 GB
+        # chip at >20 pairs per launch. Cost is a reduction over N, so
+        # blocks of 256 hypotheses stream through a lax.map with 10x less
+        # live memory and the same result.
+        mblocks = jax.tree_util.tree_map(
+            lambda x: x.reshape((BK // HB, HB) + x.shape[1:]), flat_models
+        )
+        cost = jax.lax.map(
+            lambda mb: _scored(jax.vmap(residuals_one)(mb)), mblocks
+        ).reshape(BK)
+    else:
+        cost = _scored(jax.vmap(residuals_one)(flat_models))
     if estimator.is_valid is not None:
         flat_valid = flat_valid & jax.vmap(estimator.is_valid)(flat_models)
-
-    if quality == "mle":
-        cost = _mle_cost(flat_res, thresh)
-    elif quality == "lmed":
-        cost = _lmed_cost(flat_res, mask)
-    else:
-        cost = _inlier_cost(flat_res, thresh)
     cost = jnp.where(flat_valid, cost, jnp.inf)
 
     best = jnp.argmin(cost)

@@ -74,6 +74,7 @@ sys.path.insert(0, "{repo}")
 import jax
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_num_cpu_devices", 2)
+jax.config.update("jax_enable_x64", True)  # f64: 1e-8-level agreement below
 from pytheiasfm_tpu.parallel import multihost
 multihost.initialize(coordinator="localhost:" + port, num_processes=2,
                      process_id=pid)
