@@ -159,16 +159,28 @@ def robust_rotation_averaging(
     # (Trafalgar-scale graphs) fall back to the scatter form.
     E = edge_i.shape[0]
     use_dense = E * num_views <= 134_000_000
+    # The inner CG runs THOUSANDS of normal-equation matvecs; touching the
+    # incidence structure per matvec (dense D [E, V] reads, or two
+    # scatters) is the phase's entire cost. The materialized graph
+    # Laplacian L = DᵀD [V, V] is E/V-fold smaller than D and scatter-free
+    # — numerically the identical operator. Built from D when D fits,
+    # otherwise assembled once with segment-sums (V² stays modest even at
+    # Trafalgar scale: 5288² f32 = 112 MB).
     if use_dense:
         ar = jnp.arange(num_views, dtype=edge_i.dtype)
         D = (edge_j[:, None] == ar[None, :]).astype(dtype) - (
             edge_i[:, None] == ar[None, :]
         ).astype(dtype)
-        # The inner CG runs THOUSANDS of normal-equation matvecs; reading
-        # D [E, V] twice per matvec is the phase's entire HBM bill. The
-        # materialized graph Laplacian L = DᵀD [V, V] is E/V-fold smaller
-        # — numerically the identical operator.
         Lap = D.T @ D
+    else:
+        ones = jnp.ones_like(edge_i, dtype)
+        deg = jax.ops.segment_sum(
+            ones, edge_i, num_segments=num_views
+        ) + jax.ops.segment_sum(ones, edge_j, num_segments=num_views)
+        adj = jnp.zeros((num_views, num_views), dtype)
+        adj = adj.at[edge_i, edge_j].add(1.0)
+        adj = adj + adj.T
+        Lap = jnp.diag(deg) - adj
 
     def apply_A(delta):
         d = delta.reshape(num_views, 3) * fm
@@ -185,8 +197,6 @@ def robust_rotation_averaging(
         return (acc * fm).reshape(-1)
 
     def normal_matvec(delta):
-        if not use_dense:
-            return apply_At(apply_A(delta))
         d = delta.reshape(num_views, 3) * fm
         return (Lap @ d * fm).reshape(-1)
 
@@ -229,16 +239,22 @@ def robust_rotation_averaging(
         def apply_Atw(y):
             return apply_At((y.reshape(-1, 3) * sw).reshape(-1))
 
+        # Weighted Laplacian Dᵀ diag(w) D — one assembly per IRLS
+        # relinearization, then V²-sized matvecs.
         if use_dense:
-            # Weighted Laplacian Dᵀ diag(w) D — one [V,E]x[E,V] MXU
-            # matmul per IRLS relinearization, then V²-sized matvecs.
             Lw = D.T @ (D * w[:, None])
-
-            def matvec(v):
-                d = v.reshape(num_views, 3) * fm
-                return (Lw @ d * fm).reshape(-1)
         else:
-            matvec = lambda v: apply_Atw(apply_Aw(v))
+            wdeg = jax.ops.segment_sum(
+                w, edge_i, num_segments=num_views
+            ) + jax.ops.segment_sum(w, edge_j, num_segments=num_views)
+            wadj = jnp.zeros((num_views, num_views), dtype)
+            wadj = wadj.at[edge_i, edge_j].add(w)
+            wadj = wadj + wadj.T
+            Lw = jnp.diag(wdeg) - wadj
+
+        def matvec(v):
+            d = v.reshape(num_views, 3) * fm
+            return (Lw @ d * fm).reshape(-1)
         rhs = apply_Atw((e * sw).reshape(-1))
         delta = conjugate_gradient(
             matvec, rhs, iters=options.cg_iterations, precond=precond

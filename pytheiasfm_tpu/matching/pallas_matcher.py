@@ -114,12 +114,9 @@ def _matcher_kernel(
         preferred_element_type=jnp.float32,
     )  # [TI, TJ]
     dist = jnp.maximum(a1[:, None] + a2[None, :] - 2.0 * prod, 0.0)
-    # Re-impose the mask sentinels (a1/a2 carry +BIG on masked rows; the
-    # maximum( . , 0) clamp keeps valid distances nonnegative while masked
-    # entries stay huge because BIG dominates the -2ab term).
-    dist = jnp.where(
-        (a1[:, None] >= _BIG / 2) | (a2[None, :] >= _BIG / 2), _BIG, dist
-    )
+    # Mask sentinels need no extra pass: a1/a2 carry +BIG on masked rows,
+    # and BIG + finite - 2ab stays ~BIG in f32 (the |2ab| term of unit
+    # descriptors is O(1)), so masked entries dominate every comparison.
 
     # Forward (rows).
     m1, m2, marg = _tile_top2_rows(dist, j * TJ, TJ)
