@@ -372,7 +372,7 @@ def _bundle_adjust_dense_impl(
         jnp.asarray(False),
     )
     carry = jax.lax.while_loop(while_cond, while_body, carry)
-    (ext_out, pts_out), mu_out, final_cost, iters, _ = carry
+    (ext_out, pts_out), mu_out, final_cost, iters, done_out = carry
 
     summary = BundleAdjustmentSummary(
         success=jnp.isfinite(final_cost) & (final_cost <= initial_cost),
@@ -380,6 +380,7 @@ def _bundle_adjust_dense_impl(
         final_cost=final_cost,
         num_iterations=iters,
         final_mu=mu_out,
+        converged=done_out,
     )
     return ext_out, intrinsics, pts_out, summary
 

@@ -416,8 +416,11 @@ def _run(
     )
     if slot is not None and not use_dense:
         # Rowchunk kernel unless slot padding dwarfs the real problem
-        # (one pathologically long track inflates every track's row).
-        if Tp * slot["L"] <= max(4 * O_real, 1 << 16):
+        # (one pathologically long track inflates every track's row), or
+        # the slot tensors exceed the kernel's HBM envelope (XLA pads the
+        # tiny minor dims of the [T, L, 6, ~10] block intermediates up to
+        # ~20x; measured OOM at Trafalgar scale, 254k tracks x L=6).
+        if Tp * slot["L"] <= min(max(4 * O_real, 1 << 16), 4_000_000):
             rowchunk = _rowchunk_layout(slot, Vp)
         if rowchunk is None:
             slot = None

@@ -62,6 +62,11 @@ from .losses import loss_rho, loss_weight
 
 __all__ = ["bundle_adjust_iterative"]
 
+# Slot count above which the block build runs as a lax.scan over track
+# chunks (single-shot build OOMs from minor-dim padding past this;
+# module-level so tests can lower it to exercise the scan path).
+_SCAN_SLOT_THRESHOLD = 1_100_000
+
 
 def _onehot(ids, n, dtype):
     """[n, len(ids)] one-hot reduction basis (rows = targets)."""
@@ -342,7 +347,7 @@ def _bundle_adjust_iterative_impl(
         else:
             r_pr = J_pr = None
 
-        # ---- fused block products ----
+        # ---- fused block products, chunked over tracks ----
         # Every J^T-something product shares the pattern einsum(Jx, X);
         # batching the right-hand operands into ONE X fuses what would be
         # 6-10 separate [O, small, small] einsums (measured ~5 ms each at
@@ -351,82 +356,161 @@ def _bundle_adjust_iterative_impl(
         #   X = [Jc | Jp | r (| Ji)]  ->  Jc^T X = [U | W | a (| .)]
         #                                 Jp^T X-part = [Vt | bp]
         #                                 Ji^T X = [. | Wi | ai | Ug]
-        ops = [Jc_t, Jp_t, r_t[..., None]]
-        if has_intr:
-            ops.append(Ji_t)
-        X = jnp.concatenate(ops, axis=-1)  # [T,L,2, 6+K+1(+P)]
-        JcX = _atb(Jc_t, X)
-        U_slot = JcX[..., :6]  # [T,L,6,6]
-        W = JcX[..., 6 : 6 + K]  # [T,L,6,K]
-        a_slot = JcX[..., 6 + K]  # [T,L,6]
-        d_slot = jnp.einsum("tlii->tli", U_slot)
-        # Point blocks are track-local: sum the slot axis directly.
-        JpZ = jnp.sum(
-            _atb(Jp_t, X[..., 6 : 6 + K + 1]), axis=1
-        )  # [T,K,K+1]
-        Vt = JpZ[..., :K]
-        bp = -JpZ[..., K]
-        diagVt = jnp.einsum("tii->ti", Vt)
-        Vt_d = (
-            Vt
-            + mu * (eyeK * jnp.maximum(diagVt, 1e-6)[..., None, :])
-            + 1e-10 * eyeK
-        )
-        Vinv = inv_small_spd(Vt_d, K)
-        u0 = _av(Vinv, bp)  # [T, K]
+        # The build runs as a lax.scan over track chunks: XLA pads the
+        # tiny minor dims of the [Tc, L, 6, ~10] intermediates up to ~20x,
+        # so full-T materialization OOMed at Trafalgar scale (254k tracks
+        # -> a 9.7 GB JcX). Chunking bounds every intermediate to chunk
+        # size; the coarse-level placement product and the intrinsics
+        # global sums accumulate in the scan carry.
 
-        Y = _ab(W, Vinv[:, None])  # [T,L,6,K]
-        M_slot = (U_slot - _abt(Y, W)).reshape(T, L, 36)
-        w0_slot = _av(Y, bp[:, None])
-        packs = [M_slot, a_slot, d_slot, w0_slot]
-        if use_coarse:
-            packs.append(U_slot.reshape(T, L, 36))
-        if has_intr:
-            JiX = _atb(Ji_t, X[..., 6:])
-            Wi = JiX[..., :K]  # [T,L,P,K]
-            ai_slot = JiX[..., K]  # [T,L,P]
-            Ug_slot = JiX[..., K + 1 :]  # [T,L,P,P]
-        if exact_elim:
-            # Free shared intrinsics (single group — the overwhelmingly
-            # common case): the [P] block couples EVERY camera, which
-            # destroys block-Jacobi PCG convergence whenever the
-            # intrinsics are off. Since P is tiny, eliminate the block
-            # EXACTLY (bordered Schur): PCG runs on
-            #   S~ = S_cc - B Sq^-1 B^T
-            # with B [V,6,P] the per-view coupling and Sq [P,P] the
-            # intrinsics Schur block, both point-eliminated. The point
-            # correction needs TRACK-LEVEL sums (W V^-1 couples every
-            # slot pair of a track), hence Wi_t below.
-            Wi_t = jnp.sum(Wi, axis=1)  # [T,P,K]
-            Yi_t = _ab(Wi_t, Vinv)  # [T,P,K]
-            ji_cross = JcX[..., 6 + K + 1 :]  # [T,L,6,P] = Jc^T Ji
-            B_slot = (ji_cross - _abt(Y, Wi_t[:, None])).reshape(
-                T, L, 6 * P
+        def build_blocks(Jc_c, Jp_c, r_c, Ji_c, coarse_c):
+            Tc = Jc_c.shape[0]
+            ops = [Jc_c, Jp_c, r_c[..., None]]
+            if has_intr:
+                ops.append(Ji_c)
+            X = jnp.concatenate(ops, axis=-1)  # [Tc,L,2, 6+K+1(+P)]
+            JcX = _atb(Jc_c, X)
+            U_slot = JcX[..., :6]  # [Tc,L,6,6]
+            W = JcX[..., 6 : 6 + K]  # [Tc,L,6,K]
+            a_slot = JcX[..., 6 + K]  # [Tc,L,6]
+            d_slot = jnp.einsum("tlii->tli", U_slot)
+            # Point blocks are track-local: sum the slot axis directly.
+            JpZ = jnp.sum(_atb(Jp_c, X[..., 6 : 6 + K + 1]), axis=1)
+            Vt = JpZ[..., :K]
+            bp = -JpZ[..., K]
+            diagVt = jnp.einsum("tii->ti", Vt)
+            Vt_d = (
+                Vt
+                + mu * (eyeK * jnp.maximum(diagVt, 1e-6)[..., None, :])
+                + 1e-10 * eyeK
             )
-            packs.append(B_slot)
-            # Global reductions straight from the track layout (P-sized
-            # outputs — real MXU contractions, no pack columns needed).
-            Sq1 = jnp.sum(Ug_slot, axis=(0, 1)) - jnp.einsum(
-                "tik,tjk->ij", Yi_t, Wi_t
-            )  # [P,P]
-            bi1 = -jnp.sum(ai_slot, axis=(0, 1))  # [P]
-            Di1 = jnp.maximum(jnp.einsum("tlii->i", Ug_slot), 1e-6)
-            gq1 = bi1 - jnp.einsum("tik,tk->i", Yi_t, bp)
-        elif joint_intr:
-            # Multiple shared-intrinsics groups: keep the intrinsics in
-            # the PCG state (slot-diagonal Schur-Jacobi preconditioner).
-            di_slot = jnp.einsum("tlii->tli", Ug_slot)
-            Yi = _ab(Wi, Vinv[:, None])
-            Mg_slot = (Ug_slot - _abt(Yi, Wi)).reshape(T, L, P * P)
-            wi0_slot = _av(Yi, bp[:, None])
-            packs += [Mg_slot, ai_slot, di_slot, wi0_slot]
-        # The Jacobian rows needed by the matvec adjoint ride the SAME
-        # gather as the pack (a 128-wide f32 row gather costs the same as
-        # 64-wide — the gather is index-floor-bound).
-        packs.append(Jc_t.reshape(T, L, 12))
-        if joint_intr:
-            packs.append(Ji_t.reshape(T, L, 2 * P))
-        pack = jnp.concatenate(packs, axis=-1)
+            Vinv = inv_small_spd(Vt_d, K)
+            Y = _ab(W, Vinv[:, None])  # [Tc,L,6,K]
+            M_slot = (U_slot - _abt(Y, W)).reshape(Tc, L, 36)
+            w0_slot = _av(Y, bp[:, None])
+            packs = [M_slot, a_slot, d_slot, w0_slot]
+            if use_coarse:
+                packs.append(U_slot.reshape(Tc, L, 36))
+            part = {}
+            if has_intr:
+                JiX = _atb(Ji_c, X[..., 6:])
+                Wi = JiX[..., :K]  # [Tc,L,P,K]
+                ai_slot = JiX[..., K]  # [Tc,L,P]
+                Ug_slot = JiX[..., K + 1 :]  # [Tc,L,P,P]
+            if exact_elim:
+                # Free shared intrinsics (single group — the common
+                # case): the [P] block couples EVERY camera, which
+                # destroys block-Jacobi PCG convergence whenever the
+                # intrinsics are off. Since P is tiny, eliminate the
+                # block EXACTLY (bordered Schur): PCG runs on
+                #   S~ = S_cc - B Sq^-1 B^T
+                # with B [V,6,P] the per-view coupling and Sq [P,P] the
+                # intrinsics Schur block, both point-eliminated. The
+                # point correction needs TRACK-LEVEL sums (W V^-1
+                # couples every slot pair of a track), hence Wi_t.
+                Wi_t = jnp.sum(Wi, axis=1)  # [Tc,P,K]
+                Yi_t = _ab(Wi_t, Vinv)  # [Tc,P,K]
+                ji_cross = JcX[..., 6 + K + 1 :]  # [Tc,L,6,P]
+                B_slot = (ji_cross - _abt(Y, Wi_t[:, None])).reshape(
+                    Tc, L, 6 * P
+                )
+                packs.append(B_slot)
+                # Global reductions straight from the track layout
+                # (P-sized outputs — real MXU contractions, no pack
+                # columns needed); summed across chunks by the carry.
+                part["Sq1"] = jnp.sum(Ug_slot, axis=(0, 1)) - jnp.einsum(
+                    "tik,tjk->ij", Yi_t, Wi_t
+                )
+                part["bi1"] = -jnp.sum(ai_slot, axis=(0, 1))
+                part["di1"] = jnp.einsum("tlii->i", Ug_slot)
+                part["wq1"] = jnp.einsum("tik,tk->i", Yi_t, bp)
+            elif joint_intr:
+                # Multiple shared-intrinsics groups: keep the intrinsics
+                # in the PCG state (slot-diagonal preconditioner).
+                di_slot = jnp.einsum("tlii->tli", Ug_slot)
+                Yi = _ab(Wi, Vinv[:, None])
+                Mg_slot = (Ug_slot - _abt(Yi, Wi)).reshape(Tc, L, P * P)
+                wi0_slot = _av(Yi, bp[:, None])
+                packs += [Mg_slot, ai_slot, di_slot, wi0_slot]
+            # The Jacobian rows needed by the matvec adjoint ride the
+            # SAME gather as the pack (a 128-wide f32 row gather costs
+            # the same as 64-wide — the gather is index-floor-bound).
+            packs.append(Jc_c.reshape(Tc, L, 12))
+            if joint_intr:
+                packs.append(Ji_c.reshape(Tc, L, 2 * P))
+            pack_c = jnp.concatenate(packs, axis=-1)
+            if use_coarse:
+                # Coarse placement product for this chunk:
+                # -(R^T W) V^-1 (W^T R) accumulated into [Vc,6,Vc,6].
+                ohc = (
+                    coarse_c[:, :, None]
+                    == jnp.arange(Vc, dtype=jnp.int32)[None, None, :]
+                ).astype(dtype)
+                place_dims = (((1,), (1,)), ((0,), (0,)))
+                prod_dims = (((0, 3), (0, 3)), ((), ()))
+                Wx = jax.lax.dot_general(
+                    ohc, W, place_dims, preferred_element_type=dtype
+                )
+                Zx = jax.lax.dot_general(
+                    ohc, Y, place_dims, preferred_element_type=dtype
+                )
+                part["Sc_off"] = jax.lax.dot_general(
+                    Zx, Wx, prod_dims, preferred_element_type=dtype
+                )
+            return pack_c, Vinv, bp, diagVt, part
+
+        # Chunk only past the single-shot memory envelope (~1.1M slots ~
+        # Piccadilly x1.7): the scan serializes the build and costs ~4x in
+        # lost fusion at sizes that fit, but is what makes Trafalgar-scale
+        # problems (1.5M+ slots) fit in HBM at all.
+        TC = (
+            8192
+            if (T * L > _SCAN_SLOT_THRESHOLD and T % 8192 == 0)
+            else T
+        )
+        nch = T // TC
+        Ji_full = Ji_t if has_intr else jnp.zeros((T, L, 2, 0), dtype)
+        cs_full = (
+            coarse_slot if use_coarse else jnp.zeros((T, L), jnp.int32)
+        )
+        if nch > 1:
+            def scan_body(carry, xs):
+                pack_c, Vinv_c, bp_c, dV_c, part = build_blocks(*xs)
+                carry = jax.tree_util.tree_map(
+                    lambda a, b: a + b, carry, part
+                )
+                return carry, (pack_c, Vinv_c, bp_c, dV_c)
+
+            init = {}
+            if exact_elim:
+                init.update(
+                    Sq1=jnp.zeros((P, P), dtype),
+                    bi1=jnp.zeros((P,), dtype),
+                    di1=jnp.zeros((P,), dtype),
+                    wq1=jnp.zeros((P,), dtype),
+                )
+            if use_coarse:
+                init["Sc_off"] = jnp.zeros((Vc, 6, Vc, 6), dtype)
+            xs = (
+                Jc_t.reshape(nch, TC, L, 2, 6),
+                Jp_t.reshape(nch, TC, L, 2, K),
+                r_t.reshape(nch, TC, L, 2),
+                Ji_full.reshape(nch, TC, L, 2, Ji_full.shape[-1]),
+                cs_full.reshape(nch, TC, L),
+            )
+            part, ys = jax.lax.scan(scan_body, init, xs)
+            pack, Vinv, bp, diagVt = (
+                y.reshape((T,) + y.shape[2:]) for y in ys
+            )
+        else:
+            pack, Vinv, bp, diagVt, part = build_blocks(
+                Jc_t, Jp_t, r_t, Ji_full, cs_full
+            )
+        if exact_elim:
+            Sq1 = part["Sq1"]
+            bi1 = part["bi1"]
+            Di1 = jnp.maximum(part["di1"], 1e-6)
+            gq1 = bi1 - part["wq1"]
         F = pack.shape[-1]
         njc = 12 + (2 * P if joint_intr else 0)
         Fred = F - njc  # columns that feed the view reduction
@@ -526,27 +610,9 @@ def _bundle_adjust_iterative_impl(
             Sc = jnp.zeros((Vc, 6, Vc, 6), dtype)
             arc = jnp.arange(Vc)
             Sc = Sc.at[arc, :, arc, :].set(Sc4)
-            # Off-diagonal (all slot pairs): -(R^T W) V^-1 (W^T R) via the
-            # placement product over track chunks.
-            place_dims = (((1,), (1,)), ((0,), (0,)))
-            prod_dims = (((0, 3), (0, 3)), ((), ()))
-            TC = 16384
-            for c in range(-(-T // TC)):
-                lo = c * TC
-                hi = min(T, lo + TC)
-                ohc = (
-                    coarse_slot[lo:hi, :, None]
-                    == jnp.arange(Vc, dtype=jnp.int32)[None, None, :]
-                ).astype(dtype)
-                Wx = jax.lax.dot_general(
-                    ohc, W[lo:hi], place_dims, preferred_element_type=dtype
-                )  # [Tc, Vc, 6, K]
-                Zx = jax.lax.dot_general(
-                    ohc, Y[lo:hi], place_dims, preferred_element_type=dtype
-                )
-                Sc = Sc - jax.lax.dot_general(
-                    Zx, Wx, prod_dims, preferred_element_type=dtype
-                )
+            # Off-diagonal (all slot pairs): -(R^T W) V^-1 (W^T R),
+            # accumulated chunk-by-chunk in the build scan.
+            Sc = Sc - part["Sc_off"]
             if exact_elim:
                 Bc = jnp.einsum("cv,vip->cip", coarse_oh, Bv)  # [Vc,6,P]
                 Sc = Sc - jnp.einsum(
@@ -734,7 +800,7 @@ def _bundle_adjust_iterative_impl(
         jnp.asarray(False),
     )
     carry = jax.lax.while_loop(while_cond, while_body, carry)
-    (ext_out, intr_out, pts_out), mu_out, final_cost, iters, _ = carry
+    (ext_out, intr_out, pts_out), mu_out, final_cost, iters, done_out = carry
 
     summary = BundleAdjustmentSummary(
         success=jnp.isfinite(final_cost) & (final_cost <= initial_cost),
@@ -742,6 +808,7 @@ def _bundle_adjust_iterative_impl(
         final_cost=final_cost,
         num_iterations=iters,
         final_mu=mu_out,
+        converged=done_out,
     )
     return ext_out, intr_out, pts_out, summary
 

@@ -166,13 +166,17 @@ class BundleAdjustmentSummary:
     """Parity: `theia::BundleAdjustmentSummary` (`bundle_adjustment.h:170`).
 
     `final_mu` carries the LM damping across launch chunks (see
-    `BundleAdjustmentOptions.max_iterations_per_launch`)."""
+    `BundleAdjustmentOptions.max_iterations_per_launch`); `converged`
+    lets the launch-chunking host loop stop when convergence lands
+    exactly on a chunk boundary (otherwise indistinguishable from budget
+    exhaustion)."""
 
     success: jax.Array
     initial_cost: jax.Array
     final_cost: jax.Array
     num_iterations: jax.Array
     final_mu: jax.Array = None
+    converged: jax.Array = None
 
 
 # ---------------------------------------------------------------------------
@@ -867,7 +871,7 @@ def _bundle_adjust_impl(
         jnp.asarray(False),
     )
     carry = jax.lax.while_loop(while_cond, while_body, carry)
-    (ext_out, intr_out, pts_out), mu_out, final_cost, iters, _ = carry
+    (ext_out, intr_out, pts_out), mu_out, final_cost, iters, done_out = carry
 
     summary = BundleAdjustmentSummary(
         success=jnp.isfinite(final_cost) & (final_cost <= initial_cost),
@@ -875,6 +879,7 @@ def _bundle_adjust_impl(
         final_cost=final_cost,
         num_iterations=iters,
         final_mu=mu_out,
+        converged=done_out,
     )
     return ext_out, intr_out, pts_out, summary
 
@@ -934,6 +939,8 @@ def run_launch_chunked(impl, state, options: BundleAdjustmentOptions):
             first_initial = summary.initial_cost
         if n < chunk:
             break  # converged (or immediately rejected) inside the launch
+        if summary.converged is not None and bool(summary.converged):
+            break  # convergence exactly on the chunk boundary
     summary = BundleAdjustmentSummary(
         success=jnp.isfinite(summary.final_cost)
         & (summary.final_cost <= first_initial),
@@ -941,6 +948,7 @@ def run_launch_chunked(impl, state, options: BundleAdjustmentOptions):
         final_cost=summary.final_cost,
         num_iterations=jnp.asarray(done, jnp.int32),
         final_mu=summary.final_mu,
+        converged=summary.converged,
     )
     return state, summary
 

@@ -212,3 +212,22 @@ def test_coarse_preconditioner_reaches_flat_optimum(rng):
     # directions of a ring scene leave parameters loosely pinned, so the
     # check is on the OBJECTIVE: same basin, equal-or-better progress.
     assert float(s_i.final_cost) <= float(s_f.final_cost) * (1 + 1e-3)
+
+
+@pytest.mark.slow
+def test_chunked_build_scan_path(rng, monkeypatch):
+    """Past the slot threshold the block build runs as a lax.scan over
+    track chunks (the Trafalgar-scale memory fix); the optimum must match
+    the flat kernel. The threshold is lowered so the scan engages at a
+    CPU-testable size."""
+    from pytheiasfm_tpu.ba import iterative_schur as it
+
+    monkeypatch.setattr(it, "_SCAN_SLOT_THRESHOLD", 1000)
+    p = _make_problem(rng, V=64, T=16384, L=4, noise=0.3, perturb=0.005)
+    options = BundleAdjustmentOptions(max_num_iterations=8)
+    _, _, _, s_f = _run_flat(p, options)
+    _, _, _, s_i = _run_iterative(p, options)
+    assert bool(s_i.success)
+    assert float(s_i.final_cost) == pytest.approx(
+        float(s_f.final_cost), rel=1e-6
+    )
