@@ -46,6 +46,9 @@ def test_hybrid_pipeline_synthetic():
         min_num_absolute_pose_inliers=30,
         full_bundle_adjustment_growth_percent=30.0,
         max_num_iterations=20,
+        # Noise-free-ish synthetic: a small RANSAC budget localizes every
+        # view and keeps the default-tier suite fast.
+        ransac_max_iterations=256,
     )
     summary = HybridReconstructionEstimator(options).estimate(vg, recon)
     assert summary.success, summary.message

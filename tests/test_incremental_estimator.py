@@ -41,6 +41,9 @@ def test_incremental_pipeline_synthetic():
         min_num_absolute_pose_inliers=30,
         full_bundle_adjustment_growth_percent=30.0,
         max_num_iterations=20,
+        # Noise-free-ish synthetic: a small RANSAC budget localizes every
+        # view and keeps the default-tier suite fast.
+        ransac_max_iterations=256,
     )
     estimator = IncrementalReconstructionEstimator(options)
     summary = estimator.estimate(vg, recon)
