@@ -46,7 +46,6 @@ import jax.numpy as jnp
 from .lm import (
     BundleAdjustmentOptions,
     BundleAdjustmentSummary,
-    TrackParametrizationType,
     _Problem,
     _prior_blocks,
     inv_small_spd,

@@ -57,7 +57,6 @@ from __future__ import annotations
 import dataclasses
 import enum
 from functools import partial
-from typing import Optional
 
 import jax
 import jax.numpy as jnp

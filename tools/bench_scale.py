@@ -31,6 +31,14 @@ def main():
     ap.add_argument("--views", type=int, default=None)
     ap.add_argument("--tracks", type=int, default=None)
     ap.add_argument("--repeats", type=int, default=2)
+    ap.add_argument(
+        "--default-config",
+        action="store_true",
+        help="run the reference-default free-intrinsics/manifold config "
+        "instead of the calibrated one (the synthetic scenes carry exact "
+        "priors and zero distortion, so calibrated is the apples-to-apples "
+        "configuration — see README)",
+    )
     args = ap.parse_args()
 
     from pytheiasfm_tpu.pipelines import synthetic_global as sg
@@ -46,7 +54,9 @@ def main():
     for V, T in scales:
         out = None
         for _ in range(max(args.repeats, 1)):
-            out = sg.run(V=V, T=T, seed=0)
+            out = sg.run(
+                V=V, T=T, seed=0, calibrated=not args.default_config
+            )
         base = BASELINES.get(V)
         row = {
             "metric": f"global_pipeline_{V}v",
