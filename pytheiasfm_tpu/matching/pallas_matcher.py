@@ -7,11 +7,18 @@ against only ~4 GFLOP of matmul. This kernel fuses the distance matmul with
 BOTH direction top-2 reductions inside VMEM — flash-attention-style
 streaming — so HBM traffic drops to the descriptors plus six [N] vectors
 (~250x less). Measured on a v5e at 4096x4096x128-D, batch 8, with
-on-device dependency-loop timing: ~17 TFLOP/s of distance matmul
-(~4000 image pairs/s, tiles 512x4096, bf16 descriptors) vs ~0.5 TFLOP/s
-for the XLA path — the remaining gap to the MXU's 197 TFLOP/s bf16 peak
-is the per-tile top-2/argmin VPU passes (see BENCH_r03
-`matcher_matmul_tflops` for the tracked number).
+on-device dependency-loop timing: ~17-20 TFLOP/s of distance matmul
+(~4000+ image pairs/s, tiles 512x4096, bf16 descriptors) vs ~0.5 TFLOP/s
+for the XLA path.
+
+Roofline note (`tools/exp_matcher_roofline.py`): at K=128 contraction
+depth the MXU's own output rate caps the PURE MATMUL at ~30 TF/s on v5e
+(throughput scales linearly in K: 128->30, 256->50, 512->78 TF/s
+measured), so the nameplate 197 TF/s is not the relevant bound for 128-D
+descriptors. This kernel runs at ~70% of the K=128 bound; the remainder
+is the six exact top-2/argmin VPU reductions, which MXU/VPU
+double-buffered pipelining schedules did not hide (three schedules
+measured, all within noise of this serial fusion).
 
 Per grid step (pair p, row-tile i, col-tile j; j minor):
   1. dist tile [TI, TJ] = |d1|^2 + |d2|^2 - 2 d1 d2^T   (bf16 MXU matmul,
