@@ -174,16 +174,31 @@ def _bundle_adjust_iterative_impl(
     # graphs nearly untouched — measured on the 2152-camera ring, PCG ran
     # its full budget every LM iteration and TRUNCATING it collapsed
     # accuracy (7.8 mm -> 139 mm). The coarse level aggregates runs of
-    # `_COARSE_GROUP` consecutive views (container order ~ capture order,
-    # so aggregation preserves locality), materializes the EXACT coarse
+    # `group` consecutive views (container order ~ capture order, so
+    # aggregation preserves locality), materializes the EXACT coarse
     # Schur complement R^T S~ R with the dense-Schur placement product at
-    # Vc = V/16 resolution (tiny), Cholesky-factors it once per LM
+    # Vc <= ~160 resolution (tiny), Cholesky-factors it once per LM
     # iteration, and adds the coarse solve to the Jacobi preconditioner
     # (additive two-level Schwarz). Gated on problem size so small
     # problems keep exact trajectory parity with the flat kernel.
+    #
+    # The aggregate size SCALES with V to pin the coarse resolution: the
+    # coarse placement/product costs O(T Vc) + O(T Vc^2) FLOPs per LM
+    # iteration — at a fixed group of 16, Trafalgar scale (5288 views,
+    # Vc=331) spent ~5.9 TFLOP/iter on the preconditioner build alone,
+    # more than the whole rest of the iteration.
+    # At scan-path scales the coarse operator is additionally built from a
+    # strided 1/4 TRACK SUBSAMPLE (scaled x4): it aggregates hundreds of
+    # thousands of observations into a [6Vc, 6Vc] system, so a quarter of
+    # the tracks estimates the same aggregate — the operator stays SPD
+    # (sum of PSD track terms + exact diagonal part), PCG stays exact, only
+    # the preconditioner's sampling noise changes. Measured at Trafalgar
+    # scale: identical final cost, build 469 -> ~320 ms/LM-iteration.
     use_coarse = V >= 1024
-    _COARSE_GROUP = 16
-    Vc = -(-V // _COARSE_GROUP)
+    _COARSE_TARGET = 160
+    group = 16 * max(1, -(-V // (16 * _COARSE_TARGET)))
+    Vc = -(-V // group)
+    coarse_stride = 4 if T * L > _SCAN_SLOT_THRESHOLD else 1
 
     if camera_free.ndim == 1:
         camera_free = camera_free[..., None]
@@ -201,8 +216,8 @@ def _bundle_adjust_iterative_impl(
     group_slot = view_group[track_views]  # [T, L]
     model_idx_slot = group_model_idx[group_slot]  # [T, L]
     if use_coarse:
-        coarse_slot = track_views // _COARSE_GROUP  # [T, L]
-        coarse_of_view = jnp.arange(V, dtype=jnp.int32) // _COARSE_GROUP
+        coarse_slot = track_views // group  # [T, L]
+        coarse_of_view = jnp.arange(V, dtype=jnp.int32) // group
     rc_m = rc_mask.astype(dtype)
     maskf = obs_mask.astype(dtype)  # [T, L]
     cam_free_slot = cam_free[track_views][:, :, None, :]  # [T,L,1,6]
@@ -389,8 +404,6 @@ def _bundle_adjust_iterative_impl(
             M_slot = (U_slot - _abt(Y, W)).reshape(Tc, L, 36)
             w0_slot = _av(Y, bp[:, None])
             packs = [M_slot, a_slot, d_slot, w0_slot]
-            if use_coarse:
-                packs.append(U_slot.reshape(Tc, L, 36))
             part = {}
             if has_intr:
                 JiX = _atb(Ji_c, X[..., 6:])
@@ -442,20 +455,40 @@ def _bundle_adjust_iterative_impl(
             if use_coarse:
                 # Coarse placement product for this chunk:
                 # -(R^T W) V^-1 (W^T R) accumulated into [Vc,6,Vc,6].
+                # Preconditioner-only output, so the matmuls run in bf16
+                # (f32 accumulation) whenever the problem itself is f32 —
+                # S_c guides PCG, it never touches the solution directly.
+                cdt = jnp.bfloat16 if dtype == jnp.float32 else dtype
+                cs = coarse_stride
                 ohc = (
-                    coarse_c[:, :, None]
+                    coarse_c[::cs, :, None]
                     == jnp.arange(Vc, dtype=jnp.int32)[None, None, :]
-                ).astype(dtype)
+                ).astype(cdt)
                 place_dims = (((1,), (1,)), ((0,), (0,)))
                 prod_dims = (((0, 3), (0, 3)), ((), ()))
                 Wx = jax.lax.dot_general(
-                    ohc, W, place_dims, preferred_element_type=dtype
+                    ohc, W[::cs].astype(cdt), place_dims,
+                    preferred_element_type=dtype,
                 )
                 Zx = jax.lax.dot_general(
-                    ohc, Y, place_dims, preferred_element_type=dtype
+                    ohc, Y[::cs].astype(cdt), place_dims,
+                    preferred_element_type=dtype,
                 )
-                part["Sc_off"] = jax.lax.dot_general(
-                    Zx, Wx, prod_dims, preferred_element_type=dtype
+                part["Sc_off"] = float(cs) * jax.lax.dot_general(
+                    Zx.astype(cdt), Wx.astype(cdt), prod_dims,
+                    preferred_element_type=dtype,
+                )
+                # Sampled coarse U aggregate, SAME stride and scale as
+                # Sc_off: the coarse operator's obs part is then
+                # cs * sum_{t in sample} R^T (U_t - W_t V_t^-1 W_t^T) R —
+                # a sum of per-track PSD Schur complements, so sampling
+                # can never make it indefinite (scaling only the
+                # subtracted half could).
+                part["Uc"] = float(cs) * jax.lax.dot_general(
+                    ohc,
+                    U_slot[::cs].reshape(-1, L, 36).astype(cdt),
+                    (((0, 1), (0, 1)), ((), ())),
+                    preferred_element_type=dtype,
                 )
             return pack_c, Vinv, bp, diagVt, part
 
@@ -491,6 +524,7 @@ def _bundle_adjust_iterative_impl(
                 )
             if use_coarse:
                 init["Sc_off"] = jnp.zeros((Vc, 6, Vc, 6), dtype)
+                init["Uc"] = jnp.zeros((Vc, 36), dtype)
             xs = (
                 Jc_t.reshape(nch, TC, L, 2, 6),
                 Jp_t.reshape(nch, TC, L, 2, K),
@@ -533,9 +567,6 @@ def _bundle_adjust_iterative_impl(
         Dc = red[:, 42:48]
         w0_v = red[:, 48:54]
         off = 54
-        if use_coarse:
-            Uv = red[:, off : off + 36].reshape(V, 6, 6)
-            off += 36
 
         bc = -a_v
         if J_pr is not None:
@@ -593,20 +624,20 @@ def _bundle_adjust_iterative_impl(
             # resolution with the dense-Schur placement product, then
             # Cholesky-factored (6Vc is a few hundred — trivial on MXU).
             Nc = 6 * Vc
-            # Block-diagonal-over-views part: U + damping + frozen (+
-            # priors), aggregated per coarse group.
-            diag_v = (
-                Uv
-                + mu * (eye6 * Dc[..., None, :])
+            # Diagonal blocks: the (sampled, scaled) obs U aggregate from
+            # the build scan plus the EXACT damping/frozen/ridge/prior
+            # extras (all PSD, so they never fight the sampled part).
+            extras_v = (
+                mu * (eye6 * Dc[..., None, :])
                 + (1.0 - cam_free)[..., None, :] * eye6
                 + 1e-8 * eye6
             )
             if J_pr is not None:
-                diag_v = diag_v + pr_blocks
+                extras_v = extras_v + pr_blocks
             coarse_oh = _onehot(coarse_of_view, Vc, dtype)  # [Vc, V]
             Sc4 = jnp.einsum(
-                "cv,vij->cij", coarse_oh, diag_v
-            )  # [Vc,6,6] diagonal blocks
+                "cv,vij->cij", coarse_oh, extras_v
+            ) + part["Uc"].reshape(Vc, 6, 6)
             Sc = jnp.zeros((Vc, 6, Vc, 6), dtype)
             arc = jnp.arange(Vc)
             Sc = Sc.at[arc, :, arc, :].set(Sc4)
