@@ -354,8 +354,17 @@ def _bundle_adjust_dense_impl(
             lambda n, o: jnp.where(accept, n, o), new_state, state
         )
         cost_next = jnp.where(accept, new_cost, cost)
-        rel_decrease = actual / jnp.maximum(cost, 1e-30)
-        done = accept & (rel_decrease < options.function_tolerance)
+        # Sign-insensitive function-tolerance termination (Ceres
+        # semantics): |cost change| below tolerance ends the solve whether
+        # the step was accepted or rejected — at a converged state every
+        # proposal is a near-zero change that LM REJECTS by noise, and the
+        # accept-gated check burned the full iteration budget doing
+        # nothing (measured: 50 no-progress iterations = 32 s at
+        # Trafalgar scale in the post-retriangulation BA round).
+        rel_change = jnp.abs(actual) / jnp.maximum(cost, 1e-30)
+        done = jnp.isfinite(new_cost) & (
+            rel_change < options.function_tolerance
+        )
         return state, mu_new, cost_next, it + 1, done
 
     mu_init = (

@@ -221,7 +221,12 @@ def _run(
     G = recon.intrinsics.shape[0]
     P = recon.intrinsics.shape[1]
     Vp = _pad_soft(V, 8, 512, 256)
-    Tp = _pad_soft(T, 64, 16384, 8192)
+    # Track-axis step 16384 once the problem is big enough to hit the
+    # iterative kernel's chunked build: divisibility by the preferred scan
+    # chunk (16384 measured 1.6x faster than 8192 at Trafalgar scale —
+    # fewer serialization points) is worth more than the <=6% extra
+    # padding; smaller problems keep the tighter 8192 step.
+    Tp = _pad_soft(T, 64, 16384, 16384 if T > 150_000 else 8192)
     mesh = options.mesh
     if mesh is not None:
         # The track axis divides across the mesh (dense path shard_maps it;
@@ -376,20 +381,21 @@ def _run(
             jnp.asarray(a) for a in (pp, psi, pm, op, osi, om, gp, gsi, gm)
         )
 
-    # Small problems: the whole LM budget fits one launch well inside any
-    # runtime watchdog (the per-launch cap exists for LARGE kernels); a
-    # chunked launch costs ~0.2-1 s of tunnel RPC + sync each, which
-    # dominates fountain-scale wall-clock.
+    # Launch sizing: pick the per-launch LM iteration cap from a measured
+    # cost model so one launch stays well inside runtime watchdogs
+    # (observed kill at ~35 s single execution) while avoiding needless
+    # launch splits — each chunked launch costs ~0.2-1 s of tunnel RPC +
+    # sync, which dominates fountain-scale wall-clock and adds ~0.5-1 s
+    # even at Piccadilly scale. Measured per-iteration wall-clock is
+    # ~2.6e-7 s/observation across 0.3M-1.5M-observation problems
+    # (tools/profile_ba_scale.py), so a 15 s execution budget sets the cap.
     O_real = int(np.sum(prob["obs_mask"]))
-    if (
-        O_real < 200_000
-        and options.max_iterations_per_launch < options.max_num_iterations
-    ):
+    per_iter_s = 2.6e-7 * max(O_real, 1)
+    cap = max(1, min(int(15.0 / per_iter_s), options.max_num_iterations))
+    if cap != options.max_iterations_per_launch:
         import dataclasses as _dc
 
-        options = _dc.replace(
-            options, max_iterations_per_launch=options.max_num_iterations
-        )
+        options = _dc.replace(options, max_iterations_per_launch=cap)
 
     # Solver dispatch (reference parity: Ceres SPARSE_SCHUR below
     # min_cameras_for_iterative_solver=1000, ITERATIVE_SCHUR above —

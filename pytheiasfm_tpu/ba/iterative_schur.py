@@ -190,10 +190,10 @@ def _bundle_adjust_iterative_impl(
     # At scan-path scales the coarse operator is additionally built from a
     # strided 1/4 TRACK SUBSAMPLE (scaled x4): it aggregates hundreds of
     # thousands of observations into a [6Vc, 6Vc] system, so a quarter of
-    # the tracks estimates the same aggregate — the operator stays SPD
-    # (sum of PSD track terms + exact diagonal part), PCG stays exact, only
-    # the preconditioner's sampling noise changes. Measured at Trafalgar
-    # scale: identical final cost, build 469 -> ~320 ms/LM-iteration.
+    # the tracks estimates the same aggregate and PCG itself stays exact.
+    # The sampled build stays in F32: a bf16 variant was measured to
+    # DOUBLE the LM iteration count from far-from-optimum pipeline states
+    # and to collapse Trafalgar-scale accuracy (9.7 mm -> 143 mm).
     use_coarse = V >= 1024
     _COARSE_TARGET = 160
     group = 16 * max(1, -(-V // (16 * _COARSE_TARGET)))
@@ -458,7 +458,7 @@ def _bundle_adjust_iterative_impl(
                 # Preconditioner-only output, so the matmuls run in bf16
                 # (f32 accumulation) whenever the problem itself is f32 —
                 # S_c guides PCG, it never touches the solution directly.
-                cdt = jnp.bfloat16 if dtype == jnp.float32 else dtype
+                cdt = dtype
                 cs = coarse_stride
                 ohc = (
                     coarse_c[::cs, :, None]
@@ -496,11 +496,12 @@ def _bundle_adjust_iterative_impl(
         # Piccadilly x1.7): the scan serializes the build and costs ~4x in
         # lost fusion at sizes that fit, but is what makes Trafalgar-scale
         # problems (1.5M+ slots) fit in HBM at all.
-        TC = (
-            8192
-            if (T * L > _SCAN_SLOT_THRESHOLD and T % 8192 == 0)
-            else T
-        )
+        TC = T
+        if T * L > _SCAN_SLOT_THRESHOLD:
+            for cand in (16384, 8192):
+                if T % cand == 0:
+                    TC = cand
+                    break
         nch = T // TC
         Ji_full = Ji_t if has_intr else jnp.zeros((T, L, 2, 0), dtype)
         cs_full = (
@@ -814,8 +815,17 @@ def _bundle_adjust_iterative_impl(
             lambda n, o: jnp.where(accept, n, o), new_state, state
         )
         cost_next = jnp.where(accept, new_cost, cost)
-        rel_decrease = actual / jnp.maximum(cost, 1e-30)
-        done = accept & (rel_decrease < options.function_tolerance)
+        # Sign-insensitive function-tolerance termination (Ceres
+        # semantics): |cost change| below tolerance ends the solve whether
+        # the step was accepted or rejected — at a converged state every
+        # proposal is a near-zero change that LM REJECTS by noise, and the
+        # accept-gated check burned the full iteration budget doing
+        # nothing (measured: 50 no-progress iterations = 32 s at
+        # Trafalgar scale in the post-retriangulation BA round).
+        rel_change = jnp.abs(actual) / jnp.maximum(cost, 1e-30)
+        done = jnp.isfinite(new_cost) & (
+            rel_change < options.function_tolerance
+        )
         return state, mu_new, cost_next, it + 1, done
 
     mu_init = (

@@ -352,13 +352,19 @@ class GlobalReconstructionEstimator:
                 views = [
                     v for v in range(recon.num_views()) if recon.view_estimated[v]
                 ]
-                bundle_adjust_partial_reconstruction(
+                ba_summary = bundle_adjust_partial_reconstruction(
                     ba_options, views, tracks, recon
                 )
             else:
-                bundle_adjust_reconstruction(ba_options, recon)
+                ba_summary = bundle_adjust_reconstruction(ba_options, recon)
 
             _t1 = _time.perf_counter()
+            logger.info(
+                "BA round %d: %d LM iterations, cost %.4g -> %.4g",
+                it, int(ba_summary.num_iterations),
+                float(ba_summary.initial_cost),
+                float(ba_summary.final_cost),
+            )
             num_outliers = set_outlier_tracks_to_unestimated(
                 recon,
                 opt.max_reprojection_error_in_pixels,

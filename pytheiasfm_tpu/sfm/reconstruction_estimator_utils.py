@@ -105,6 +105,20 @@ def _obs_device_arrays(recon):
     ent = _OBS_DEVICE_CACHE.get(key)
     if ent is not None and ent[0] is recon.obs_view:
         return ent[1]
+    # A different container with byte-identical content (fresh build of
+    # the same scene, checkpoint round-trip) reuses the resident copy —
+    # hashing ~13 MB costs ~10 ms vs seconds of tunnel re-upload.
+    import hashlib
+
+    h = hashlib.blake2b(digest_size=16)
+    for a in (recon.obs_view, recon.obs_track, recon.obs_uv,
+              recon.view_group, recon.group_model):
+        h.update(np.ascontiguousarray(a).tobytes())
+    digest = h.digest()
+    ent = _OBS_DEVICE_CACHE.get(digest)
+    if ent is not None:
+        _OBS_DEVICE_CACHE[key] = (recon.obs_view, ent[1])
+        return ent[1]
     groups = recon.view_group[recon.obs_view]
     present = tuple(sorted({int(m) for m in recon.group_model} or {0}))
     midx = np.asarray(
@@ -120,6 +134,7 @@ def _obs_device_arrays(recon):
     )
     _OBS_DEVICE_CACHE.clear()  # one pipeline at a time; bound the cache
     _OBS_DEVICE_CACHE[key] = (recon.obs_view, arrays)
+    _OBS_DEVICE_CACHE[digest] = (recon.obs_view, arrays)
     return arrays
 
 
@@ -155,6 +170,57 @@ def compute_reprojection_errors(recon, rows: np.ndarray | None = None):
     return err_all[rows], depth_all[rows]
 
 
+@partial(
+    jax.jit,
+    static_argnames=(
+        "present_models", "num_views", "num_groups", "num_params",
+        "num_tracks",
+    ),
+)
+def _track_outlier_aggregates(
+    state_flat,  # [6V + G*P + 4T] packed (extrinsics | intrinsics | points)
+    obs_view, obs_track, uv, obs_group, model_idx,
+    row_mask, present_models: tuple, num_views: int, num_groups: int,
+    num_params: int, num_tracks: int,
+):
+    """Per-TRACK outlier statistics in one launch: a stacked [3, T] of
+    (sum of squared reprojection errors, observation count,
+    any-behind-camera flag) over the masked observation rows. The
+    parameter state arrives as ONE packed upload and the result is ONE
+    download — through this environment's TPU tunnel (~30 ms RTT,
+    ~20-70 MB/s) the previous per-observation download plus per-array
+    transfers were most of the outlier pass."""
+    from ..ba.lm import _pixel_of
+
+    V, G, P, T = num_views, num_groups, num_params, num_tracks
+    ext = state_flat[: 6 * V].reshape(V, 6)
+    intrinsics = state_flat[6 * V : 6 * V + G * P].reshape(G, P)
+    pts4 = state_flat[6 * V + G * P :].reshape(T, 4)
+
+    e6 = ext[obs_view]
+    q = intrinsics[obs_group]
+    p4 = pts4[obs_track]
+    w = p4[:, 3:4]
+    p3 = p4[:, :3] / jnp.where(jnp.abs(w) < 1e-12, 1.0, w)
+
+    def one_obs(e6, q, x3, uv, idx):
+        adjusted = x3 - e6[:3]
+        p_cam = rotops.angle_axis_rotate_point(e6[3:], adjusted)
+        pixel = _pixel_of(q, p_cam, present_models, idx)
+        return jnp.sum((pixel - uv) ** 2), p_cam[2]
+
+    err, depth = jax.vmap(one_obs)(e6, q, p3, uv, model_idx)
+    m = row_mask.astype(err.dtype)
+    sum_err = jax.ops.segment_sum(err * m, obs_track, num_segments=T)
+    cnt = jax.ops.segment_sum(m, obs_track, num_segments=T)
+    bad = jax.ops.segment_max(
+        jnp.where(row_mask & (depth < 0), 1.0, 0.0).astype(err.dtype),
+        obs_track,
+        num_segments=T,
+    )
+    return jnp.stack([sum_err, cnt, bad])
+
+
 def set_outlier_tracks_to_unestimated(
     recon,
     max_inlier_reprojection_error: float,
@@ -184,23 +250,42 @@ def set_outlier_tracks_to_unestimated(
     # mask over the observation table (the per-track Python loop here cost
     # ~4 s per BA round at 100k tracks).
     ov, ot = recon.obs_view, recon.obs_track
-    rows = np.where(cand[ot] & recon.view_estimated[ov])[0]
+    row_mask = cand[ot] & recon.view_estimated[ov]
+    rows = np.where(row_mask)[0]
     if len(rows) == 0:
         return 0
-    err, depth = compute_reprojection_errors(recon, rows)
-    tracks = ot[rows]
+    if recon.num_observations() == 0:
+        return 0
+    ov_d, ot_d, uv_d, grp_d, midx_d, present = _obs_device_arrays(recon)
+    from ..utils import counters
 
-    sum_err = np.zeros(T)
-    cnt = np.zeros(T)
-    bad_depth = np.zeros(T, bool)
-    np.add.at(sum_err, tracks, err)
-    np.add.at(cnt, tracks, 1.0)
-    np.logical_or.at(bad_depth, tracks, depth < 0)
+    counters.bump("reproject_launch")
+    state_flat = np.concatenate([
+        np.asarray(recon.view_extrinsics, recon.dtype).ravel(),
+        np.asarray(recon.intrinsics, recon.dtype).ravel(),
+        np.asarray(recon.points, recon.dtype).ravel(),
+    ])
+    agg = np.asarray(
+        _track_outlier_aggregates(
+            jnp.asarray(state_flat),
+            ov_d, ot_d, uv_d, grp_d, midx_d,
+            jnp.asarray(row_mask),
+            present_models=present,
+            num_views=recon.num_views(),
+            num_groups=recon.intrinsics.shape[0],
+            num_params=recon.intrinsics.shape[1],
+            num_tracks=T,
+        ),
+        np.float64,
+    )
+    sum_err, cnt, bad_depth = agg[0], agg[1], agg[2] > 0.5
     seen = cnt > 0
     drop = bad_depth | (sum_err > max_sq * np.maximum(cnt, 1.0))
 
     # Viewing-angle test for the survivors, in a padded [Tc, L] slot
-    # layout (best pair of rays must subtend >= the minimum angle).
+    # layout (best pair of rays must subtend >= the minimum angle);
+    # runs entirely on HOST state (points + extrinsics), no download.
+    tracks = ot[rows]
     need = np.where(seen & ~drop & cand)[0]
     if len(need):
         sub = rows[np.isin(tracks, need)]

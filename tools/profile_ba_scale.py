@@ -23,6 +23,7 @@ def main():
     ap.add_argument("--iters", type=int, default=30)
     ap.add_argument("--pcg", type=int, default=40)
     ap.add_argument("--mixed", action="store_true")
+    ap.add_argument("--ftol", type=float, default=0.0)
     args = ap.parse_args()
 
     import jax
@@ -72,7 +73,7 @@ def main():
     opts = BundleAdjustmentOptions(
         max_num_iterations=args.iters,
         linear_solver_iterations=args.pcg,
-        function_tolerance=0.0,  # fixed-iteration A/B
+        function_tolerance=args.ftol,
         max_iterations_per_launch=args.iters,
         use_mixed_precision_solves=args.mixed,
     )
