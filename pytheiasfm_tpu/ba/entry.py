@@ -388,10 +388,20 @@ def _run(
     # sync, which dominates fountain-scale wall-clock and adds ~0.5-1 s
     # even at Piccadilly scale. Measured per-iteration wall-clock is
     # ~2.6e-7 s/observation across 0.3M-1.5M-observation problems
-    # (tools/profile_ba_scale.py), so a 15 s execution budget sets the cap.
+    # (tools/profile_ba_scale.py) at the default 40-iteration PCG
+    # budget; the iterative path's per-LM-iteration time is dominated by
+    # the PCG loop, so the constant scales with
+    # options.linear_solver_iterations. A user-set
+    # max_iterations_per_launch is honored as an upper bound (the cost
+    # model may only split launches further, never merge past it).
     O_real = int(np.sum(prob["obs_mask"]))
-    per_iter_s = 2.6e-7 * max(O_real, 1)
+    per_iter_s = (
+        2.6e-7 * max(O_real, 1) * max(options.linear_solver_iterations, 1) / 40.0
+    )
     cap = max(1, min(int(15.0 / per_iter_s), options.max_num_iterations))
+    default_cap = type(options)().max_iterations_per_launch
+    if options.max_iterations_per_launch != default_cap:
+        cap = min(cap, options.max_iterations_per_launch)
     if cap != options.max_iterations_per_launch:
         import dataclasses as _dc
 

@@ -455,27 +455,25 @@ def _bundle_adjust_iterative_impl(
             if use_coarse:
                 # Coarse placement product for this chunk:
                 # -(R^T W) V^-1 (W^T R) accumulated into [Vc,6,Vc,6].
-                # Preconditioner-only output, so the matmuls run in bf16
-                # (f32 accumulation) whenever the problem itself is f32 —
-                # S_c guides PCG, it never touches the solution directly.
-                cdt = dtype
+                # The build stays f32 end-to-end: a bf16 variant was
+                # measured harmful here (see module comment).
                 cs = coarse_stride
                 ohc = (
                     coarse_c[::cs, :, None]
                     == jnp.arange(Vc, dtype=jnp.int32)[None, None, :]
-                ).astype(cdt)
+                ).astype(dtype)
                 place_dims = (((1,), (1,)), ((0,), (0,)))
                 prod_dims = (((0, 3), (0, 3)), ((), ()))
                 Wx = jax.lax.dot_general(
-                    ohc, W[::cs].astype(cdt), place_dims,
+                    ohc, W[::cs], place_dims,
                     preferred_element_type=dtype,
                 )
                 Zx = jax.lax.dot_general(
-                    ohc, Y[::cs].astype(cdt), place_dims,
+                    ohc, Y[::cs], place_dims,
                     preferred_element_type=dtype,
                 )
                 part["Sc_off"] = float(cs) * jax.lax.dot_general(
-                    Zx.astype(cdt), Wx.astype(cdt), prod_dims,
+                    Zx, Wx, prod_dims,
                     preferred_element_type=dtype,
                 )
                 # Sampled coarse U aggregate, SAME stride and scale as
@@ -486,7 +484,7 @@ def _bundle_adjust_iterative_impl(
                 # subtracted half could).
                 part["Uc"] = float(cs) * jax.lax.dot_general(
                     ohc,
-                    U_slot[::cs].reshape(-1, L, 36).astype(cdt),
+                    U_slot[::cs].reshape(-1, L, 36),
                     (((0, 1), (0, 1)), ((), ())),
                     preferred_element_type=dtype,
                 )

@@ -111,12 +111,20 @@ def _obs_device_arrays(recon):
     import hashlib
 
     h = hashlib.blake2b(digest_size=16)
+    # recon.dtype is part of the identity: the cached uv was cast to the
+    # builder's dtype, so byte-identical tables at a different precision
+    # must not reuse it.
+    h.update(np.dtype(recon.dtype).str.encode())
     for a in (recon.obs_view, recon.obs_track, recon.obs_uv,
               recon.view_group, recon.group_model):
         h.update(np.ascontiguousarray(a).tobytes())
     digest = h.digest()
     ent = _OBS_DEVICE_CACHE.get(digest)
     if ent is not None:
+        # Evict stale id-keyed entries before aliasing a new one so
+        # repeated fresh builds of the same scene keep the cache bounded.
+        for k in [k for k in _OBS_DEVICE_CACHE if k not in (key, digest)]:
+            del _OBS_DEVICE_CACHE[k]
         _OBS_DEVICE_CACHE[key] = (recon.obs_view, ent[1])
         return ent[1]
     groups = recon.view_group[recon.obs_view]
@@ -253,8 +261,6 @@ def set_outlier_tracks_to_unestimated(
     row_mask = cand[ot] & recon.view_estimated[ov]
     rows = np.where(row_mask)[0]
     if len(rows) == 0:
-        return 0
-    if recon.num_observations() == 0:
         return 0
     ov_d, ot_d, uv_d, grp_d, midx_d, present = _obs_device_arrays(recon)
     from ..utils import counters

@@ -44,7 +44,10 @@ def main():
     V, T = args.views, args.tracks
     prob = build_problem(V=V, T=T, obs_per_track=args.obs)
     Vp = E._pad_soft(V, 8, 512, 256)
-    Tp = E._pad_soft(T, 64, 16384, 8192)
+    # Mirror entry.py's production padding rule (16384-step track axis past
+    # 150k tracks selects the TC=16384 scan chunking) so measured constants
+    # correspond to the shipped configuration.
+    Tp = E._pad_soft(T, 64, 16384, 16384 if T > 150_000 else 8192)
     O = prob["O"]
 
     flat = dict(
