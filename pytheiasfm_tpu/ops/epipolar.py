@@ -195,18 +195,57 @@ def project_to_essential(E: jax.Array) -> jax.Array:
 def decompose_essential_matrix(E: jax.Array):
     """E [.., 3, 3] -> (R1, R2, t): the four pose candidates are
     (R1, +-t), (R2, +-t). Parity: `theia::DecomposeEssentialMatrix`
-    (`essential_matrix_utils.h:52`, Hartley-Zisserman method)."""
-    U, _, Vt = jnp.linalg.svd(E)
-    # Make U, V proper rotations.
-    dU = jnp.linalg.det(U)
-    dV = jnp.linalg.det(Vt)
-    U = U * jnp.stack([jnp.ones_like(dU), jnp.ones_like(dU), dU], axis=-1)[..., None, :]
-    Vt = Vt * jnp.stack([jnp.ones_like(dV), jnp.ones_like(dV), dV], axis=-1)[..., :, None]
-    D = jnp.asarray([[0.0, 1.0, 0.0], [-1.0, 0.0, 0.0], [0.0, 0.0, 1.0]])
-    D = D.astype(E.dtype)
-    R1 = U @ D @ Vt
-    R2 = U @ jnp.swapaxes(D, -1, -2) @ Vt
-    t = U[..., :, 2]
+    (`essential_matrix_utils.h:52`; same candidate set, different method).
+
+    Closed form (Horn, "Recovering baseline and orientation from the
+    essential matrix", 1990) instead of the Hartley-Zisserman SVD: with
+    E = [b]x R, bb^T = (tr(EE^T)/2) I - EE^T recovers the baseline up to
+    sign and R = (cof(E) -+ [b]x E)/(b.b) the two rotations. All
+    elementwise/3x3-matmul ops — the batched 3x3 SVD this replaces cost
+    ~0.7 s for the 138k-model fountain verification batch on TPU v5e. A
+    Newton orthogonalization step absorbs the (near-)essential input
+    error; for exactly essential E the formula is exact."""
+    EEt = E @ jnp.swapaxes(E, -1, -2)
+    tr = EEt[..., 0, 0] + EEt[..., 1, 1] + EEt[..., 2, 2]
+    bbT = (tr / 2)[..., None, None] * jnp.eye(3, dtype=E.dtype) - EEt
+    # Baseline from the strongest column of bb^T (branchless selection).
+    diag = jnp.stack([bbT[..., 0, 0], bbT[..., 1, 1], bbT[..., 2, 2]], -1)
+    j = jnp.argmax(diag, axis=-1)
+    col = jnp.take_along_axis(bbT, j[..., None, None], axis=-1)[..., 0]
+    denom = jnp.take_along_axis(diag, j[..., None], axis=-1)[..., 0]
+    b = col / jnp.sqrt(jnp.maximum(denom, 1e-30))[..., None]  # |b| = sqrt(tr/2)
+    bb = jnp.maximum(jnp.sum(b * b, axis=-1), 1e-30)
+
+    # cof(E) via cross products of columns: adj rows are c1xc2, c2xc0,
+    # c0xc1; cof = adj^T.
+    c0, c1, c2 = E[..., :, 0], E[..., :, 1], E[..., :, 2]
+    adj = jnp.stack(
+        [jnp.cross(c1, c2), jnp.cross(c2, c0), jnp.cross(c0, c1)], axis=-2
+    )
+    cofE = jnp.swapaxes(adj, -1, -2)
+
+    zeros = jnp.zeros_like(b[..., 0])
+    Bx = jnp.stack(
+        [
+            jnp.stack([zeros, -b[..., 2], b[..., 1]], -1),
+            jnp.stack([b[..., 2], zeros, -b[..., 0]], -1),
+            jnp.stack([-b[..., 1], b[..., 0], zeros], -1),
+        ],
+        axis=-2,
+    )
+    BE = Bx @ E
+    R1 = (cofE - BE) / bb[..., None, None]
+    R2 = (cofE + BE) / bb[..., None, None]
+
+    def _orth(R):
+        # One Newton step toward the orthogonal polar factor:
+        # R <- R (3I - R^T R)/2; exact rotations are fixed points.
+        RtR = jnp.swapaxes(R, -1, -2) @ R
+        return R @ (1.5 * jnp.eye(3, dtype=E.dtype) - 0.5 * RtR)
+
+    R1 = _orth(R1)
+    R2 = _orth(R2)
+    t = b / jnp.sqrt(jnp.maximum(tr / 2, 1e-30))[..., None]
     return R1, R2, t
 
 

@@ -188,12 +188,44 @@ def five_point_relative_pose(points1: jax.Array, points2: jax.Array, mask=None):
 
     roots, root_valid = poly.find_real_polynomial_roots(coeffs)
 
-    # Nullvector of C(z*) per root -> (x, y).
+    # Nullvector of C(z*) per root -> (x, y), via ridged inverse iteration
+    # on the row/column-equilibrated normal matrix C^T C (batched 10x10
+    # Cholesky + two triangular solves per sweep). This replaces a batched
+    # 10x10 SVD of C that cost 2.6 s for the 13.8k-solve (=138k-root)
+    # fountain verification batch on TPU v5e (~60% of the whole solver);
+    # the iteration costs ~0.25 s at the same recovery rate (measured
+    # 198/256 vs the SVD's 200/256 on four 64-sample f32 seeds). The
+    # equilibration is what makes f32 work: row scaling leaves the
+    # nullvector unchanged; column scaling D maps it to D^-1 m (undone
+    # below); together they tame cond(C^T C) = cond(C)^2, worst at
+    # large-|z| roots where degree-3 columns dwarf degree-0 ones — without
+    # it the scale-relative ridge swamps the small columns and the GN
+    # polish below starts outside the right basin. At a root
+    # sigma_min(C) ~ 0, so each sweep amplifies the null direction by
+    # ~sigma_2^2/ridge >= 1e4; five sweeps are bulletproof.
     zr = roots  # [.., 10]
     zrp = jnp.stack([jnp.ones_like(zr), zr, zr * zr, zr**3], axis=-1)  # [.., 10, 4]
     Cr = jnp.einsum("...ijp,...np->...nij", czp, zrp)  # [.., 10roots, 10, 10]
-    _, s, vt = jnp.linalg.svd(Cr)
-    m = vt[..., -1, :]  # [.., 10roots, 10]
+    rown = jnp.linalg.norm(Cr, axis=-1, keepdims=True)
+    Cr = Cr / jnp.maximum(rown, 1e-30)
+    coln = jnp.linalg.norm(Cr, axis=-2, keepdims=True)
+    Crs = Cr / jnp.maximum(coln, 1e-30)
+    CtC = jnp.einsum("...ki,...kj->...ij", Crs, Crs)
+    ridge = jnp.asarray(1e-6 if dtype == jnp.float32 else 1e-12, dtype)
+    A = CtC + ridge * jnp.eye(10, dtype=dtype)
+    Lc = jnp.linalg.cholesky(A)
+    # Cholesky of a PD matrix is finite; guard anyway (padded rows etc.).
+    chol_ok = jnp.all(jnp.isfinite(Lc), axis=(-2, -1))
+    Lc = jnp.where(chol_ok[..., None, None], Lc, jnp.eye(10, dtype=dtype))
+    from jax.scipy.linalg import solve_triangular
+
+    m = jnp.ones(Crs.shape[:-1], dtype)
+    for _ in range(5):
+        y = solve_triangular(Lc, m[..., None], lower=True)
+        m = solve_triangular(Lc, y, lower=True, trans=1)[..., 0]
+        m = m / jnp.maximum(jnp.linalg.norm(m, axis=-1, keepdims=True), 1e-30)
+    m = m / jnp.maximum(coln[..., 0, :], 1e-30)
+    m = m / jnp.maximum(jnp.linalg.norm(m, axis=-1, keepdims=True), 1e-30)
     denom = m[..., _ONE_COL]
     ok_scale = jnp.abs(denom) > 1e-12
     safe = jnp.where(ok_scale, denom, 1.0)
@@ -247,5 +279,5 @@ def five_point_relative_pose(points1: jax.Array, points2: jax.Array, mask=None):
     )
     norm = jnp.linalg.norm(E.reshape(E.shape[:-2] + (9,)), axis=-1)
     E = E / jnp.maximum(norm[..., None, None], 1e-30)
-    valid = root_valid & ok_scale & (norm > 1e-12)
+    valid = root_valid & ok_scale & chol_ok & (norm > 1e-12)
     return E, valid
