@@ -284,6 +284,68 @@ class _Reader:
         depth_prior_var = self.f64()
         return pt.ravel(), cov, depth_prior, depth_prior_var
 
+    # Bulk feature-map dtypes: after the one-time "Feature" version u32,
+    # every map entry is a FIXED-size record (cereal emits the eigen
+    # rows/cols headers per record), so a whole view's feature map parses
+    # as one np.frombuffer — the per-record Python loop here was ~1.2 s of
+    # the 1.5 s fountain-11 archive load.
+    _FEAT_ENTRY = np.dtype(
+        [
+            ("tid", "<u4"),
+            ("r1", "<i4"), ("c1", "<i4"), ("pt", "<f8", (2,)),
+            ("r2", "<i4"), ("c2", "<i4"), ("cov", "<f8", (4,)),
+            ("depth", "<f8"), ("dvar", "<f8"),
+        ]
+    )
+    _FEAT_ENTRY_LEGACY = np.dtype(
+        [("tid", "<u4"), ("r1", "<i4"), ("c1", "<i4"), ("pt", "<f8", (2,))]
+    )
+    # Reverse-map record (feature first, then the track id).
+    _FEAT_REV = np.dtype(
+        [
+            ("r1", "<i4"), ("c1", "<i4"), ("pt", "<f8", (2,)),
+            ("r2", "<i4"), ("c2", "<i4"), ("cov", "<f8", (4,)),
+            ("depth", "<f8"), ("dvar", "<f8"), ("tid", "<u4"),
+        ]
+    )
+
+    def _feature_map(self, n_feat: int):
+        """-> (tids [N] i64, pts [N,2], cov [N,2,2], depth [N], dvar [N])."""
+        first = None
+        # The first-ever feature record carries the class version u32;
+        # parse it via the slow path so the version cache is primed.
+        if n_feat > 0 and not self.legacy and "Feature" not in self.versions:
+            tid = self.u32()
+            first = (tid, self.feature())
+            n_feat -= 1
+        ent = self._FEAT_ENTRY_LEGACY if self.legacy else self._FEAT_ENTRY
+        raw = self.raw(ent.itemsize * n_feat)
+        rec = np.frombuffer(raw, ent)
+        if n_feat and not (
+            (rec["r1"] == 2).all() and (rec["c1"] == 1).all()
+            and (self.legacy or ((rec["r2"] == 2) & (rec["c2"] == 2)).all())
+        ):
+            raise ValueError("theia_recon: feature map shape headers mismatch")
+        tids = rec["tid"].astype(np.int64)
+        pts = rec["pt"].astype(np.float64).reshape(-1, 2)
+        if self.legacy:
+            cov = np.broadcast_to(np.eye(2), (n_feat, 2, 2))
+            depth = np.zeros(n_feat)
+            dvar = np.zeros(n_feat)
+        else:
+            # cereal stores Eigen column-major; Matrix2d symmetric anyway.
+            cov = rec["cov"].astype(np.float64).reshape(-1, 2, 2)
+            depth = rec["depth"].astype(np.float64)
+            dvar = rec["dvar"].astype(np.float64)
+        if first is not None:
+            ftid, (fpt, fcov, fd, fdv) = first
+            tids = np.concatenate([[ftid], tids])
+            pts = np.concatenate([fpt[None], pts])
+            cov = np.concatenate([fcov[None], cov])
+            depth = np.concatenate([[fd], depth])
+            dvar = np.concatenate([[fdv], dvar])
+        return tids, pts, cov, depth, dvar
+
     def view(self):
         self.version("View")
         name = self.string()
@@ -292,17 +354,17 @@ class _Reader:
         cam = self.camera()
         prior = self.intrinsics_prior()
         n_feat = self.u64()
-        features = {}
-        for _ in range(n_feat):
-            tid = self.u32()
-            features[tid] = self.feature()
+        features = self._feature_map(n_feat)
         if self.legacy:
             return name, timestamp, is_estimated, cam, prior, features
-        # features_to_tracks_: redundant reverse map; parse and discard.
+        # features_to_tracks_: redundant reverse map; skip in bulk (the
+        # record is fixed-size once the Feature version is known).
         n_rev = self.u64()
-        for _ in range(n_rev):
+        if n_rev and "Feature" not in self.versions:
             self.feature()
             self.u32()
+            n_rev -= 1
+        self.raw(self._FEAT_REV.itemsize * n_rev)
         position_prior = self.eigen().ravel()
         position_sqrt_info = self.eigen()
         has_position_prior = self.boolean()
@@ -466,35 +528,65 @@ def read_theia_reconstruction(path: str) -> Reconstruction:
             recon.track_reference_view[new_t] = vid_map[ref_vid]
         tid_map[tid] = new_t
 
-    obs_view, obs_track, obs_uv, obs_sic, obs_dp, obs_dpv = [], [], [], [], [], []
+    # Vectorized observation assembly (the per-row Python loops here were
+    # most of the archive-load wall clock at fountain scale).
+    max_tid = max(tracks) if tracks else -1
+    tid_arr = np.full(max_tid + 2, -1, np.int64)
+    for tid, nt in tid_map.items():
+        tid_arr[tid] = nt
+    ov_parts, ot_parts, uv_parts, sic_parts, dp_parts, dpv_parts = (
+        [], [], [], [], [], []
+    )
     for vid in sorted(views):
-        features = views[vid][5]
+        tids, pts, cov, depth, dvar = views[vid][5]
         v_new = vid_map[vid]
-        for tid in sorted(features):
-            if tid not in tid_map:
-                continue
-            pt, cov, depth_prior, depth_prior_var = features[tid]
-            d = np.clip(np.diag(cov), 1e-12, None)
-            obs_view.append(v_new)
-            obs_track.append(tid_map[tid])
-            obs_uv.append(pt)
-            # Diagonal sqrt-inverse covariance, the form our BA consumes.
-            obs_sic.append(1.0 / np.sqrt(d))
-            obs_dp.append(depth_prior)
-            obs_dpv.append(depth_prior_var)
-    O = len(obs_view)
-    recon.obs_view = np.asarray(obs_view, np.int32)
-    recon.obs_track = np.asarray(obs_track, np.int32)
-    recon.obs_uv = np.asarray(obs_uv, recon.dtype).reshape(O, 2)
-    recon.obs_sqrt_inv_cov = np.asarray(obs_sic, recon.dtype).reshape(O, 2)
-    recon.obs_depth_prior = np.asarray(obs_dp, recon.dtype)
-    recon.obs_depth_prior_variance = np.asarray(obs_dpv, recon.dtype)
+        order = np.argsort(tids, kind="stable")
+        tids, pts, cov = tids[order], pts[order], cov[order]
+        depth, dvar = depth[order], dvar[order]
+        known = (tids <= max_tid) & (tid_arr[np.minimum(tids, max_tid + 1)] >= 0)
+        tids, pts, cov = tids[known], pts[known], cov[known]
+        depth, dvar = depth[known], dvar[known]
+        ov_parts.append(np.full(len(tids), v_new, np.int32))
+        ot_parts.append(tid_arr[tids].astype(np.int32))
+        uv_parts.append(pts)
+        # Diagonal sqrt-inverse covariance, the form our BA consumes.
+        d = np.clip(cov[:, [0, 1], [0, 1]], 1e-12, None)
+        sic_parts.append(1.0 / np.sqrt(d))
+        dp_parts.append(depth)
+        dpv_parts.append(dvar)
+    cat = lambda parts, dt: (
+        np.concatenate(parts).astype(dt)
+        if parts
+        else np.zeros((0,), dt)
+    )
+    recon.obs_view = cat(ov_parts, np.int32)
+    recon.obs_track = cat(ot_parts, np.int32)
+    O = len(recon.obs_view)
+    recon.obs_uv = cat(uv_parts, recon.dtype).reshape(O, 2)
+    recon.obs_sqrt_inv_cov = cat(sic_parts, recon.dtype).reshape(O, 2)
+    recon.obs_depth_prior = cat(dp_parts, recon.dtype)
+    recon.obs_depth_prior_variance = cat(dpv_parts, recon.dtype)
+    # _track_obs: rows grouped by track via one argsort + split.
+    order = np.argsort(recon.obs_track, kind="stable")
+    counts = np.bincount(recon.obs_track, minlength=T)
+    bounds = np.zeros(T + 1, np.int64)
+    np.cumsum(counts, out=bounds[1:])
+    recon._track_obs = [
+        order[bounds[t] : bounds[t + 1]].tolist() for t in range(T)
+    ]
+    # First observing view (archive order = ascending view id) becomes the
+    # reference view where the track had none.
+    need_ref = recon.track_reference_view < 0
+    if need_ref.any() and O:
+        first_row = order[bounds[:-1]]
+        has_obs = counts > 0
+        sel = need_ref & has_obs
+        recon.track_reference_view[sel] = recon.obs_view[
+            np.where(counts > 0, first_row, 0)
+        ][sel]
     for row in range(O):
-        t, v = int(recon.obs_track[row]), int(recon.obs_view[row])
-        recon._track_obs[t].append(row)
+        v, t = int(recon.obs_view[row]), int(recon.obs_track[row])
         recon._view_track_to_obs[v][t] = row
-        if recon.track_reference_view[t] < 0:
-            recon.track_reference_view[t] = v
     return recon
 
 

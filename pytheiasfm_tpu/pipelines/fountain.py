@@ -196,21 +196,62 @@ def build_view_graph(recon, seed=0, min_inliers=30, max_ransac_iterations=256):
         priors1.append(priors1[0])
         priors2.append(priors2[0])
 
-    opts = EstimateTwoViewInfoOptions(max_ransac_iterations=max_ransac_iterations)
     key = jax.random.PRNGKey(seed)
     results = []
     from ..utils import counters
 
+    # Two-rung adaptive hypothesis budget — the batched mapping of the
+    # reference's adaptive termination (ComputeMaxIterations,
+    # `sample_consensus_estimator.h`): every pair first gets a 64-sample
+    # launch; only pairs whose adaptive iteration requirement at the
+    # observed inlier ratio exceeds 64 are re-verified at the full budget.
+    # High-inlier collections (fountain: ~80% inliers -> ~15 required
+    # iterations) finish entirely in the cheap rung with the same
+    # failure-probability guarantee.
+    rung1 = min(64, max_ransac_iterations)
+    opts1 = EstimateTwoViewInfoOptions(max_ransac_iterations=rung1)
     for c in range(n_chunks):
         lo, hi = c * chunk, (c + 1) * chunk
         key, sub = jax.random.split(key)
         counters.bump("verify_chunk")
         results.extend(
             estimate_two_view_info_batch(
-                sub, opts, priors1[lo:hi], priors2[lo:hi],
+                sub, opts1, priors1[lo:hi], priors2[lo:hi],
                 pts1[lo:hi], pts2[lo:hi], masks[lo:hi],
             )
         )
+    results = results[:P]
+    if max_ransac_iterations > rung1:
+        confidence = 1.0 - opts1.expected_ransac_confidence
+        redo = []
+        for i, (vaa, vbb) in enumerate(pairs):
+            info, inliers = results[i]
+            n = len(pair_rows[(vaa, vbb)][0])
+            ninl = 0 if info is None else len(inliers)
+            p_good = max(ninl / max(n, 1), 1e-9) ** 5
+            needed = np.log(confidence) / min(np.log1p(-min(p_good, 1 - 1e-12)), -1e-12)
+            if needed > rung1:
+                redo.append(i)
+        if redo:
+            opts2 = EstimateTwoViewInfoOptions(
+                max_ransac_iterations=max_ransac_iterations
+            )
+            # Same fixed chunk geometry as rung 1 (pad with replicas).
+            n2 = -(-len(redo) // chunk) * chunk
+            sel = redo + [redo[0]] * (n2 - len(redo))
+            for c in range(n2 // chunk):
+                lo, hi = c * chunk, (c + 1) * chunk
+                key, sub = jax.random.split(key)
+                counters.bump("verify_chunk")
+                out = estimate_two_view_info_batch(
+                    sub, opts2,
+                    [priors1[i] for i in sel[lo:hi]],
+                    [priors2[i] for i in sel[lo:hi]],
+                    pts1[sel[lo:hi]], pts2[sel[lo:hi]], masks[sel[lo:hi]],
+                )
+                for j, i in enumerate(sel[lo:hi]):
+                    if lo + j < len(redo):
+                        results[i] = out[j]
     graph = ViewGraph()
     for (vaa, vbb), (info, inliers) in zip(pairs, results[:P]):
         if info is None or len(inliers) < min_inliers:
