@@ -275,15 +275,32 @@ def bench_ba_free_intrinsics(obs_per_track=6):
 
 def bench_pipeline_2152():
     """Piccadilly-scale (2152 views / 100k tracks) global pipeline, run
-    twice (run 2 = post-compile), in the calibrated configuration (the
-    synthetic scene carries exact priors and zero distortion — the
-    reference's own guidance for known calibration). Baselines:
+    twice (run 2 = post-compile), in the REFERENCE-DEFAULT configuration
+    (free focal length + radial distortion, XYZW-manifold tracks —
+    `reconstruction_estimator_options.h:281-290`). Baselines:
     Piccadilly R 49.56 / t 129.21 / BA 72.26 / total 330.33 s
     (performance.md:62)."""
     from pytheiasfm_tpu.pipelines import synthetic_global as sg
 
-    sg.run(V=2152, T=100_000, seed=0, calibrated=True)
-    return sg.run(V=2152, T=100_000, seed=0, calibrated=True)
+    first = sg.run(V=2152, T=100_000, seed=0, calibrated=False)
+    second = sg.run(V=2152, T=100_000, seed=0, calibrated=False)
+    second["config"] = "default_free_intrinsics"
+    second["first_run_s"] = first["t_total_s"]
+    return second
+
+
+def bench_pipeline_5288():
+    """Trafalgar-scale (5288 views / 250k tracks) global pipeline in the
+    reference-default configuration, run twice (run 2 = post-compile).
+    Baselines: Trafalgar R 156.33 / position 387.29 / BA 142.10 /
+    total 880.74 s (performance.md:68)."""
+    from pytheiasfm_tpu.pipelines import synthetic_global as sg
+
+    first = sg.run(V=5288, T=250_000, seed=0, calibrated=False)
+    second = sg.run(V=5288, T=250_000, seed=0, calibrated=False)
+    second["config"] = "default_free_intrinsics"
+    second["first_run_s"] = first["t_total_s"]
+    return second
 
 
 def bench_matching(n_desc=4096, dim=128, pairs=8, reps=20):
@@ -421,6 +438,10 @@ def main():
         gp2152 = bench_pipeline_2152()
     except Exception:
         gp2152 = None
+    try:
+        gp5288 = bench_pipeline_5288()
+    except Exception:
+        gp5288 = None
 
     baseline_s = 196.22  # Notre Dame BA, Ceres CPU (BASELINE.md)
     result = {
@@ -432,6 +453,7 @@ def main():
         "final_cost": float(summary.final_cost),
         "initial_cost": float(summary.initial_cost),
         "lm_iterations": int(summary.num_iterations),
+        "ba_config": "dense_schur, frozen intrinsics, f32, 30 LM iters",
         "matched_pairs_per_s": round(match["pairs_per_s"], 2),
         "matcher_config": (
             f"{match['n_desc']}x{match['n_desc']} desc, {match['dim']}-D, "
@@ -459,6 +481,9 @@ def main():
         )
         result["ba_free_intrinsics_final_cost"] = float(f_summary.final_cost)
         result["ba_free_intrinsics_recovered_focal"] = round(f_focal, 2)
+        result["ba_free_intrinsics_config"] = (
+            "iterative_schur, free focal+radial, f32, 30 LM iters"
+        )
     if fount is not None:
         # vs the reference's 1.76 s total (performance.md:20); post-compile
         # run is the headline, first run shows the one-time compile cost.
@@ -496,6 +521,7 @@ def main():
         )
         result["global_median_pos_err_m"] = round(gp["median_pos_err"], 4)
         result["global_views"] = f"{gp['views']}/{gp['views_total']}"
+        result["global_config"] = "default_free_intrinsics"
     if gp2152 is not None:
         # Piccadilly-scale ladder row (round-3 blind spot: the driver only
         # tracked the 553-view scale while 2152-view BA was below baseline).
@@ -521,6 +547,41 @@ def main():
         result["pipeline2152_views"] = (
             f"{gp2152['views']}/{gp2152['views_total']}"
         )
+        result["pipeline2152_config"] = gp2152.get("config", "unknown")
+        if "first_run_s" in gp2152:
+            result["pipeline2152_first_run_s"] = round(
+                gp2152["first_run_s"], 2
+            )
+    if gp5288 is not None:
+        # Trafalgar-scale ladder row (performance.md:68: rotation 156.33,
+        # position 387.29, BA 142.10, total 880.74 s).
+        result["pipeline5288_total_s"] = round(gp5288["t_total_s"], 2)
+        result["pipeline5288_vs_baseline"] = round(
+            880.74 / max(gp5288["t_total_s"], 1e-9), 2
+        )
+        result["pipeline5288_rotation_s"] = round(gp5288["t_rotation_s"], 2)
+        result["pipeline5288_rotation_vs_baseline"] = round(
+            156.33 / max(gp5288["t_rotation_s"], 1e-9), 2
+        )
+        result["pipeline5288_position_s"] = round(gp5288["t_position_s"], 2)
+        result["pipeline5288_position_vs_baseline"] = round(
+            387.29 / max(gp5288["t_position_s"], 1e-9), 2
+        )
+        result["pipeline5288_ba_s"] = round(gp5288["t_ba_s"], 2)
+        result["pipeline5288_ba_vs_baseline"] = round(
+            142.10 / max(gp5288["t_ba_s"], 1e-9), 2
+        )
+        result["pipeline5288_median_pos_err_m"] = round(
+            gp5288["median_pos_err"], 4
+        )
+        result["pipeline5288_views"] = (
+            f"{gp5288['views']}/{gp5288['views_total']}"
+        )
+        result["pipeline5288_config"] = gp5288.get("config", "unknown")
+        if "first_run_s" in gp5288:
+            result["pipeline5288_first_run_s"] = round(
+                gp5288["first_run_s"], 2
+            )
     if mixed is not None:
         result["ba_mixed_precision_wallclock"] = round(mixed["elapsed"], 4)
         result["ba_mixed_precision_vs_baseline"] = round(

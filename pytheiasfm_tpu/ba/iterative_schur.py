@@ -54,7 +54,7 @@ from .lm import (
     TrackParametrizationType,
     _prior_blocks,
     _residual_at_point,
-    _tangent_basis4,
+    _point_tangent_basis4,
     inv_small_spd,
     run_launch_chunked,
 )
@@ -261,7 +261,7 @@ def _bundle_adjust_iterative_impl(
         pm = present_models
 
         if manifold:
-            basis = jax.vmap(_tangent_basis4)(pts)  # [T,4,3]
+            basis = jax.vmap(_point_tangent_basis4)(pts)  # [T,4,3]
             zeros3 = jnp.zeros((3,), dtype)
 
             def f(e6, q, d3, x4, B, uv, si, idx):
@@ -344,7 +344,7 @@ def _bundle_adjust_iterative_impl(
 
     def apply_step(pts, dp):
         if manifold:
-            basis = jax.vmap(_tangent_basis4)(pts)
+            basis = jax.vmap(_point_tangent_basis4)(pts)
             new = pts + jnp.einsum("tij,tj->ti", basis, dp)
             n = jnp.linalg.norm(new, axis=-1, keepdims=True)
             return new / jnp.maximum(n, 1e-12)

@@ -228,6 +228,42 @@ def _tangent_basis4(x4):
     return H[:, :3]
 
 
+def _point_tangent_basis4(x4):
+    """Well-conditioned projective tangent basis [4,3] at unit 4-vector x4.
+
+    Any basis transverse to span(x4) parametrizes the same local projective
+    chart (the update renormalizes), so the basis is a free conditioning
+    choice. The orthonormal sphere basis makes the point Jacobian
+    Jp = d(pixel)/d(delta) carry a factor ~ 1/w per unit tangent step: its
+    normal matrix V_t = Jp^T Jp is then cond(M)^2 ~ 1/w^2 worse-conditioned
+    than the Euclidean parametrization's, and on TPU (f32) the per-track
+    elimination V^-1 turns that into step noise that caps LM convergence —
+    measured on the 2152-view ring: sphere basis stalled at cost 106e3 /
+    0.21 m median after 50 iterations (more PCG iterations change nothing:
+    the matvec itself is noise-limited), while the Euclidean XYZW
+    parametrization reached 101e3 / 6.4 mm in 14.
+
+    This basis instead solves  (dp/dx4) B = I_3  on the chart p = xyz/w:
+    B = w * B_s inv(M3) with M3 = [I | -p] B_s (invertible on the tangent —
+    its kernel span(x4) is transverse). Point-block conditioning becomes
+    IDENTICAL to the Euclidean parametrization while the state keeps full
+    homogeneous generality. Near w = 0 (points at infinity, where p
+    overflows) it falls back to the sphere basis — conditioning there is
+    fine because pixels depend only on the direction."""
+    n = jnp.linalg.norm(x4)
+    xh = x4 / jnp.maximum(n, 1e-12)
+    Bs = _tangent_basis4(x4)
+    w = xh[3]
+    # Guarded chart: |w| >= tau keeps cond(M3) <= ~1/tau (f32-safe).
+    tau = jnp.asarray(1e-3, x4.dtype)
+    safe = jnp.abs(w) > tau
+    wsafe = jnp.where(safe, w, 1.0)
+    p = xh[:3] / wsafe
+    M3 = Bs[:3, :] - p[:, None] * Bs[3, :][None, :]  # [I | -p] B_s
+    Bc = wsafe * (Bs @ inv3x3(M3))
+    return jnp.where(safe, Bc, Bs)
+
+
 def _invdepth_world_point(rho, ref_e6, bearing):
     """World point of an inverse-depth track: X = c_ref + R_refᵀ (b / ρ)
     (parity: the inverse-depth reprojection functor,
@@ -317,7 +353,7 @@ class _Problem:
             r, Jc, Jr, Ji, Jp = out
         elif self.manifold:
             x4_o = points[ot]  # [O, 4]
-            basis_o = jax.vmap(_tangent_basis4)(points)[ot]  # [O, 4, 3]
+            basis_o = jax.vmap(_point_tangent_basis4)(points)[ot]  # [O, 4, 3]
 
             def f(e6, q, d3, x4, B, uv, si, idx):
                 x4n = x4 + B @ d3
@@ -396,7 +432,7 @@ class _Problem:
         if self.invdepth:
             return points + dp
         if self.manifold:
-            basis = jax.vmap(_tangent_basis4)(points)
+            basis = jax.vmap(_point_tangent_basis4)(points)
             new = points + jnp.einsum("tij,tj->ti", basis, dp)
             n = jnp.linalg.norm(new, axis=-1, keepdims=True)
             return new / jnp.maximum(n, 1e-12)
