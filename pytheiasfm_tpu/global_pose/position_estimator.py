@@ -63,6 +63,7 @@ def relative_translations_to_world(orientations, edge_i, rel_positions):
 def least_unsquared_deviation_positions(
     edge_i, edge_j, t_world, free_mask, num_views: int,
     outer_iters: int = 200, cg_iters: int = 30, rho: float = 1.0,
+    edge_mask=None,
 ):
     """LUD: min Σ ‖c_j − c_i − s_ij t_ij‖₂ s.t. s_ij ≥ 1.
 
@@ -86,9 +87,18 @@ def least_unsquared_deviation_positions(
     fm = free_mask.astype(dtype)[:, None]
     nC = num_views * 3
 
+    # Padded edges (mesh-divisibility padding, edge_mask False) carry
+    # t_world = 0 and i = j, so A rows are exactly zero; only the degree
+    # preconditioner needs masking for the padded problem to match the
+    # unpadded one bit-for-bit in trajectory.
+    ones = (
+        jnp.ones((E,), dtype)
+        if edge_mask is None
+        else edge_mask.astype(dtype)
+    )
     deg = (
-        jax.ops.segment_sum(jnp.ones((E,), dtype), edge_i, num_segments=num_views)
-        + jax.ops.segment_sum(jnp.ones((E,), dtype), edge_j, num_segments=num_views)
+        jax.ops.segment_sum(ones, edge_i, num_segments=num_views)
+        + jax.ops.segment_sum(ones, edge_j, num_segments=num_views)
     )
     inv_deg = jnp.where(deg > 0, 1.0 / jnp.maximum(deg, 1.0), 1.0)
 
@@ -466,6 +476,7 @@ def estimate_positions(
     estimator_type: int = GlobalPositionEstimatorType.LEAST_UNSQUARED_DEVIATION,
     fixed_views: set | None = None,
     dtype=np.float64,
+    mesh=None,
 ):
     """Host driver: view graph + orientations → {view_id: position}.
 
@@ -473,6 +484,11 @@ def estimate_positions(
     (`position_estimator.h:53`) as dispatched by
     `GlobalReconstructionEstimator::EstimatePosition`
     (`global_reconstruction_estimator.cc:418-452`).
+
+    `mesh`: optional `jax.sharding.Mesh` — the edge axis of the LUD/
+    nonlinear solves shards across it (SURVEY §7.9). Padded edges carry
+    t_world = 0, i = j and a False mask, so the sharded solve matches the
+    single-device trajectory exactly.
     """
     view_ids = view_graph.view_ids()
     if not view_ids:
@@ -499,6 +515,34 @@ def estimate_positions(
         jnp.asarray(orient), jnp.asarray(ei), jnp.asarray(rel_pos)
     )
 
+    ei_d, ej_d = jnp.asarray(ei), jnp.asarray(ej)
+    edge_mask = None
+    if (
+        mesh is not None
+        and estimator_type
+        == GlobalPositionEstimatorType.LEAST_UNSQUARED_DEVIATION
+    ):
+        import jax as _jax
+        from jax.sharding import NamedSharding, PartitionSpec as _PS
+
+        from ..parallel import pad_to_multiple
+
+        n = int(np.prod(list(mesh.shape.values())))
+        ax = mesh.axis_names[0]
+        sh = NamedSharding(mesh, _PS(ax))
+        E = len(ei)
+        ei_p, _ = pad_to_multiple(ei, n)
+        ej_p, _ = pad_to_multiple(ej, n)
+        tw_p, _ = pad_to_multiple(np.asarray(t_world), n)
+        w_p, _ = pad_to_multiple(np.asarray(weights), n)
+        mask_p = np.zeros(len(ei_p), bool)
+        mask_p[:E] = True
+        ei_d = _jax.device_put(jnp.asarray(ei_p), sh)
+        ej_d = _jax.device_put(jnp.asarray(ej_p), sh)
+        t_world = _jax.device_put(jnp.asarray(tw_p), sh)
+        weights = np.asarray(w_p)
+        edge_mask = _jax.device_put(jnp.asarray(mask_p), sh)
+
     if estimator_type == GlobalPositionEstimatorType.NONLINEAR:
         # Reference initializes randomly (`nonlinear_position_estimator.h:97`)
         # then LM; LUD makes a far better TPU-native init.
@@ -519,7 +563,8 @@ def estimate_positions(
         )
     else:
         out = least_unsquared_deviation_positions(
-            jnp.asarray(ei), jnp.asarray(ej), t_world, jnp.asarray(free), V
+            ei_d, ej_d, t_world, jnp.asarray(free), V,
+            edge_mask=edge_mask,
         )
     out = np.asarray(out)
     return {v: out[index[v]] for v in view_ids}

@@ -139,16 +139,25 @@ def _apply_update(orientations, delta):
 def robust_rotation_averaging(
     orientations, edge_i, edge_j, rel_aa, free_mask, num_views: int,
     options: RobustRotationEstimatorOptions = RobustRotationEstimatorOptions(),
+    edge_mask=None,
 ):
     """L1 stage then IRLS stage, both with per-stage relinearization.
 
     Parity: `RobustRotationEstimator::EstimateRotations`
     (`robust_rotation_estimator.h:90`): `free_mask` [V] marks views being
     solved (fixed views keep δ = 0 — the reference supports fixing multiple
-    views, `robust_rotation_estimator.h:84-88`).
+    views, `robust_rotation_estimator.h:84-88`). `edge_mask` [E] (bool,
+    optional) marks valid edges: padded rows (mesh-divisibility padding
+    from the sharded entry) contribute nothing to the operator, so the
+    padded problem is EXACTLY the unpadded one.
     """
     dtype = orientations.dtype
     fm = free_mask.astype(dtype)[:, None]
+    em = (
+        jnp.ones((edge_i.shape[0], 1), dtype)
+        if edge_mask is None
+        else edge_mask.astype(dtype)[:, None]
+    )
 
     # The L1/IRLS stages run thousands of sequential CG steps; at that
     # trip count a scatter-based incidence matvec costs seconds of pure
@@ -171,14 +180,15 @@ def robust_rotation_averaging(
         D = (edge_j[:, None] == ar[None, :]).astype(dtype) - (
             edge_i[:, None] == ar[None, :]
         ).astype(dtype)
+        D = D * em
         Lap = D.T @ D
     else:
-        ones = jnp.ones_like(edge_i, dtype)
+        ones = em[:, 0]
         deg = jax.ops.segment_sum(
             ones, edge_i, num_segments=num_views
         ) + jax.ops.segment_sum(ones, edge_j, num_segments=num_views)
         adj = jnp.zeros((num_views, num_views), dtype)
-        adj = adj.at[edge_i, edge_j].add(1.0)
+        adj = adj.at[edge_i, edge_j].add(em[:, 0])
         adj = adj + adj.T
         Lap = jnp.diag(deg) - adj
 
@@ -186,10 +196,10 @@ def robust_rotation_averaging(
         d = delta.reshape(num_views, 3) * fm
         if use_dense:
             return (D @ d).reshape(-1)
-        return (d[edge_j] - d[edge_i]).reshape(-1)
+        return ((d[edge_j] - d[edge_i]) * em).reshape(-1)
 
     def apply_At(y):
-        yv = y.reshape(-1, 3)
+        yv = y.reshape(-1, 3) * em
         if use_dense:
             return (D.T @ yv * fm).reshape(-1)
         acc = jax.ops.segment_sum(yv, edge_j, num_segments=num_views)
@@ -201,8 +211,8 @@ def robust_rotation_averaging(
         return (Lap @ d * fm).reshape(-1)
 
     degree = (
-        jax.ops.segment_sum(jnp.ones_like(edge_i, dtype), edge_i, num_segments=num_views)
-        + jax.ops.segment_sum(jnp.ones_like(edge_j, dtype), edge_j, num_segments=num_views)
+        jax.ops.segment_sum(em[:, 0], edge_i, num_segments=num_views)
+        + jax.ops.segment_sum(em[:, 0], edge_j, num_segments=num_views)
     )
     inv_deg = jnp.where(degree > 0, 1.0 / jnp.maximum(degree, 1.0), 1.0)
 
@@ -210,7 +220,7 @@ def robust_rotation_averaging(
         return (r.reshape(num_views, 3) * inv_deg[:, None]).reshape(-1)
 
     def l1_step(R_aa, _):
-        e = _edge_residuals(R_aa, edge_i, edge_j, rel_aa).reshape(-1)
+        e = (_edge_residuals(R_aa, edge_i, edge_j, rel_aa) * em).reshape(-1)
         delta = admm_l1(
             apply_A, apply_At, e, (num_views * 3,),
             outer_iters=options.admm_iterations,
@@ -226,11 +236,11 @@ def robust_rotation_averaging(
     sigma = jnp.asarray(options.irls_loss_parameter_sigma, dtype)
 
     def irls_step(R_aa, _):
-        e = _edge_residuals(R_aa, edge_i, edge_j, rel_aa)
+        e = _edge_residuals(R_aa, edge_i, edge_j, rel_aa) * em
         # Geman-McClure weights on the edge residual norm
         # (`robust_rotation_estimator.h:140`).
         nrm2 = jnp.sum(e * e, axis=-1)
-        w = (sigma**2 / (nrm2 + sigma**2)) ** 2
+        w = ((sigma**2 / (nrm2 + sigma**2)) ** 2) * em[:, 0]
         sw = jnp.sqrt(w)[:, None]
 
         def apply_Aw(delta):
@@ -498,6 +508,7 @@ def estimate_rotations(
     fixed_views: set | None = None,
     options: RobustRotationEstimatorOptions | None = None,
     dtype=np.float64,
+    mesh=None,
 ):
     """Host driver: view graph → {view_id: angle-axis}.
 
@@ -505,6 +516,12 @@ def estimate_rotations(
     (`rotation_estimator.h:50`) plus the MST initialization step of
     `GlobalReconstructionEstimator::EstimateGlobalRotations`
     (`global_reconstruction_estimator.cc:327-371`).
+
+    `mesh`: optional `jax.sharding.Mesh` — the edge axis (relative
+    rotations, incidence rows) shards across it and GSPMD inserts the
+    Laplacian-assembly / adjoint collectives (SURVEY §7.9; the reference
+    parallelizes this phase with its ThreadPool instead). Padded edges are
+    masked inert, so the sharded solve matches the single-device one.
     """
     view_ids = view_graph.view_ids()
     if not view_ids:
@@ -567,10 +584,34 @@ def estimate_rotations(
         )
     else:
         opts = options or RobustRotationEstimatorOptions()
+        edge_args = (jnp.asarray(ei), jnp.asarray(ej), jnp.asarray(rel_rot))
+        edge_mask = None
+        if mesh is not None:
+            import jax as _jax
+            from jax.sharding import NamedSharding, PartitionSpec as _PS
+
+            from ..parallel import pad_to_multiple
+
+            n = int(np.prod(list(mesh.shape.values())))
+            ax = mesh.axis_names[0]
+            sh = NamedSharding(mesh, _PS(ax))
+            E = len(ei)
+            # Padded edges: i = j = 0 with identity relative rotation and
+            # edge_mask False — exact zero rows of the masked operator.
+            ei_p, _ = pad_to_multiple(ei, n)
+            ej_p, _ = pad_to_multiple(ej, n)
+            rel_p, _ = pad_to_multiple(rel_rot, n)
+            mask_p = np.zeros(len(ei_p), bool)
+            mask_p[:E] = True
+            edge_args = tuple(
+                _jax.device_put(jnp.asarray(a), sh)
+                for a in (ei_p, ej_p, rel_p)
+            )
+            edge_mask = _jax.device_put(jnp.asarray(mask_p), sh)
         out = np.asarray(
             robust_rotation_averaging(
-                jnp.asarray(init), jnp.asarray(ei), jnp.asarray(ej),
-                jnp.asarray(rel_rot), jnp.asarray(free), V, opts,
+                jnp.asarray(init), *edge_args,
+                jnp.asarray(free), V, opts, edge_mask=edge_mask,
             )
         )
     return {v: out[index[v]] for v in view_ids}

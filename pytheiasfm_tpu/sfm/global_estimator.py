@@ -90,7 +90,8 @@ class GlobalReconstructionEstimator:
         # 3. Global rotations (.cc:327-371).
         t0 = time.perf_counter()
         orientations = rot_est.estimate_rotations(
-            view_graph, int(opt.global_rotation_estimator_type)
+            view_graph, int(opt.global_rotation_estimator_type),
+            mesh=opt.mesh,
         )
         summary.rotation_estimation_time = time.perf_counter() - t0
         logger.info(
@@ -149,6 +150,7 @@ class GlobalReconstructionEstimator:
             view_graph,
             orientations,
             int(opt.global_position_estimator_type),
+            mesh=opt.mesh,
         )
         summary.position_estimation_time = time.perf_counter() - t_pos
         summary.pose_estimation_time = time.perf_counter() - t0
@@ -320,6 +322,7 @@ class GlobalReconstructionEstimator:
             min_triangulation_angle_degrees=opt.min_triangulation_angle_degrees,
             bundle_adjustment=opt.bundle_adjust_tracks,
             triangulation_method=opt.triangulation_method,
+            mesh=opt.mesh,
         )
         if track_ids is None:
             return estimate_all_tracks(recon, te_options)
@@ -336,6 +339,7 @@ class GlobalReconstructionEstimator:
 
         for it in range(opt.num_retriangulation_iterations + 1):
             _t0 = _time.perf_counter()
+            round_options = ba_options
             if opt.subsample_tracks_for_bundle_adjustment:
                 tracks = select_good_tracks_for_bundle_adjustment(
                     recon,
@@ -353,10 +357,10 @@ class GlobalReconstructionEstimator:
                     v for v in range(recon.num_views()) if recon.view_estimated[v]
                 ]
                 ba_summary = bundle_adjust_partial_reconstruction(
-                    ba_options, views, tracks, recon
+                    round_options, views, tracks, recon
                 )
             else:
-                ba_summary = bundle_adjust_reconstruction(ba_options, recon)
+                ba_summary = bundle_adjust_reconstruction(round_options, recon)
 
             _t1 = _time.perf_counter()
             logger.info(

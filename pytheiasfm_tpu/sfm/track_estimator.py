@@ -60,6 +60,12 @@ class TrackEstimatorOptions:
     bundle_adjustment: bool = True
     ba_iterations: int = 5
     triangulation_method: TriangulationMethodType = TriangulationMethodType.MIDPOINT
+    # Optional `jax.sharding.Mesh`: the track axis of the batched
+    # triangulation shards across it (embarrassingly parallel — GSPMD
+    # splits the vmap with no collectives). SURVEY §7.9; the reference
+    # fans tracks out over its ThreadPool instead (estimate_track.cc:
+    # 165-183).
+    mesh: object = None
 
 
 @dataclasses.dataclass
@@ -262,11 +268,28 @@ def estimate_tracks(
     from ..utils import counters
 
     counters.bump("triangulate_launch")
+    arrays = (track_ext, track_uv, track_focal, slot_mask)
+    if options.mesh is not None:
+        import jax
+        from jax.sharding import NamedSharding, PartitionSpec as PS
+
+        from ..parallel import pad_to_multiple
+
+        mesh = options.mesh
+        n = int(np.prod(list(mesh.shape.values())))
+        sh = NamedSharding(mesh, PS(mesh.axis_names[0]))
+        padded = []
+        for a in arrays:
+            p, _ = pad_to_multiple(a, n)
+            padded.append(p)
+        padded[3][T:] = False  # padded tracks are fully masked
+        arrays = tuple(
+            jax.device_put(jnp.asarray(a), sh) for a in padded
+        )
+    else:
+        arrays = tuple(jnp.asarray(a) for a in arrays)
     points4, success = triangulate_tracks(
-        jnp.asarray(track_ext),
-        jnp.asarray(track_uv),
-        jnp.asarray(track_focal),
-        jnp.asarray(slot_mask),
+        *arrays,
         jnp.asarray(options.max_acceptable_reprojection_error_pixels, dtype),
         jnp.asarray(options.min_triangulation_angle_degrees, dtype),
         method=int(options.triangulation_method),

@@ -232,3 +232,72 @@ def test_global_estimator_on_mesh(rng):
     aligned = s * est @ np.asarray(Ra).T + np.asarray(ta)
     err = np.linalg.norm(aligned - gt, axis=-1)
     assert np.median(err) < 0.05, np.median(err)
+
+
+def test_rotation_averaging_sharded_edges_matches_single_device(rng):
+    """Robust rotation averaging with the edge axis sharded over the mesh
+    must reproduce the single-device trajectory: the masked padding makes
+    the padded operator EXACTLY the unpadded one (rotation_estimator.py
+    `edge_mask`), so agreement is to f64 reduction-order noise only."""
+    import sys
+    sys.path.insert(0, "tests")
+    from test_global_pose import make_scene, rotation_error_deg
+
+    from pytheiasfm_tpu import global_pose as gp
+
+    gt_aa, _, graph = make_scene(30, 180, 0.5, 0.01, rng)
+    est_single = gp.estimate_rotations(graph)
+    est_mesh = gp.estimate_rotations(graph, mesh=make_mesh(8))
+    assert set(est_single) == set(est_mesh)
+    for v in est_single:
+        np.testing.assert_allclose(
+            est_mesh[v], est_single[v], rtol=1e-6, atol=1e-8
+        )
+    assert rotation_error_deg(gt_aa, est_mesh) < 1.5
+
+
+def test_position_estimation_sharded_edges_matches_single_device(rng):
+    """LUD positions with the edge axis sharded: padded edges carry
+    t_world = 0 / i = j / mask False, so the sharded ADMM trajectory
+    matches single-device bit-for-bit up to reduction order."""
+    import sys
+    sys.path.insert(0, "tests")
+    from test_global_pose import make_scene, position_error
+
+    from pytheiasfm_tpu import global_pose as gp
+
+    gt_aa, gt_pos, graph = make_scene(30, 180, 0.0, 0.02, rng)
+    orient = {i: gt_aa[i] for i in range(30)}
+    est_single = gp.estimate_positions(graph, orient)
+    est_mesh = gp.estimate_positions(graph, orient, mesh=make_mesh(8))
+    assert set(est_single) == set(est_mesh)
+    for v in est_single:
+        np.testing.assert_allclose(
+            est_mesh[v], est_single[v], rtol=1e-6, atol=1e-8
+        )
+    scale = np.linalg.norm(gt_pos - gt_pos.mean(0), axis=-1).mean()
+    assert position_error(gt_pos, est_mesh) < 0.05 * scale
+
+
+def test_triangulation_sharded_tracks_matches_single_device():
+    """Track-axis-sharded triangulation (TrackEstimatorOptions.mesh) must
+    triangulate the same tracks to the same points."""
+    import copy
+
+    from pytheiasfm_tpu.sfm.track_estimator import (
+        TrackEstimatorOptions,
+        estimate_all_tracks,
+    )
+    from pytheiasfm_tpu.utils.synthetic import random_reconstruction
+
+    base = random_reconstruction(num_views=8, num_tracks=150, seed=3)
+    base.track_estimated[:] = False
+    base.points[:] = 0.0
+
+    r1 = copy.deepcopy(base)
+    r2 = copy.deepcopy(base)
+    s1 = estimate_all_tracks(r1, TrackEstimatorOptions())
+    s2 = estimate_all_tracks(r2, TrackEstimatorOptions(mesh=make_mesh(8)))
+    assert s1.estimated_tracks == s2.estimated_tracks
+    assert len(s1.estimated_tracks) > 100
+    np.testing.assert_allclose(r2.points, r1.points, rtol=1e-6, atol=1e-9)
