@@ -634,23 +634,31 @@ def compute_reconstruction_covariance(
     recon,
     constant_views=(),
     dtype=np.float64,
+    view_ids=None,
+    track_ids=None,
 ):
-    """Joint-problem marginal covariances for every estimated view and
-    track — the general `ceres::Covariance` case on the FULL problem
-    (`bundle_adjuster.cc:660-744`), exact via the dense Schur identities
-    (`ba/dense_schur.joint_covariance_dense`), not the block-diagonal
-    other-group-constant approximation of the `*WithCov` entries.
+    """Joint-problem marginal covariances — the general `ceres::Covariance`
+    case on the FULL problem (`bundle_adjuster.cc:660-744`), not the
+    block-diagonal other-group-constant approximation of the `*WithCov`
+    entries.
 
     `constant_views`: views held constant to fix the gauge (covariance of
     a gauge-free BA problem is singular — the reference expects the same).
     Returns ({view_id: [6,6]}, {track_id: [3,3]}, variance_factor).
 
-    Scale guard: the exact joint covariance materializes and inverts the
-    full [6V, 6V] Schur complement and gathers [T, L, L, 6, 6] blocks —
-    the same practical bounds as the dense-Schur solve apply
-    (`DENSE_SCHUR_MAX_CAMERAS` views, slot length <= 32). Larger problems
-    raise rather than OOM/hang; compute per-block covariances with the
-    `*_with_cov` entries instead.
+    Two paths, same semantics:
+      * `view_ids is None` (everything): exact dense Schur inversion
+        (`ba/dense_schur.joint_covariance_dense`) — bounded to
+        `DENSE_SCHUR_MAX_CAMERAS` padded views / slot length 32 (it
+        materializes the [6V, 6V] complement); larger problems raise
+        with a pointer to the selected-block path.
+      * `view_ids` given: matrix-free selected-block path
+        (`ba/covariance.selected_covariance_pcg`) — block-Jacobi PCG
+        solves only the requested columns of S^-1, so it works at ANY
+        scale (this is how `ceres::Covariance` stays feasible on large
+        problems). `track_ids` marginals additionally need the S^-1
+        columns of their observing views, which are added to the solve
+        set automatically.
     """
     from .dense_schur import joint_covariance_dense
 
@@ -659,21 +667,24 @@ def compute_reconstruction_covariance(
     prob = _gather_problem(recon, view_sel, track_sel, dtype)
     V, T = recon.num_views(), recon.num_tracks()
     Vp, Tp = _pad_pow2(V, 8), _pad_pow2(T, 64)
-    if Vp > DENSE_SCHUR_MAX_CAMERAS:
+    selected = view_ids is not None
+    if not selected and Vp > DENSE_SCHUR_MAX_CAMERAS:
         raise ValueError(
-            f"compute_reconstruction_covariance materializes a dense "
-            f"[{6 * Vp}, {6 * Vp}] Schur complement; supported up to "
-            f"{DENSE_SCHUR_MAX_CAMERAS} (padded) views, got {V}. Use "
-            f"bundle_adjust_views_with_cov / bundle_adjust_tracks_with_cov "
-            f"for per-block covariances at scale."
+            f"compute_reconstruction_covariance(view_ids=None) "
+            f"materializes a dense [{6 * Vp}, {6 * Vp}] Schur complement; "
+            f"supported up to {DENSE_SCHUR_MAX_CAMERAS} (padded) views, "
+            f"got {V}. Pass view_ids=/track_ids= for the matrix-free "
+            f"selected-block path (any scale), or use "
+            f"bundle_adjust_views_with_cov / bundle_adjust_tracks_with_cov."
         )
     slot = _slot_layout(prob, Tp, dtype)
     if slot is None:
         return {}, {}, 0.0
-    if slot["L"] > 32:
+    if not selected and slot["L"] > 32:
         raise ValueError(
             f"compute_reconstruction_covariance gathers [T, L, L, 6, 6] "
-            f"blocks; supported up to slot length 32, got L={slot['L']}."
+            f"blocks; supported up to slot length 32, got L={slot['L']}. "
+            f"Pass view_ids= for the selected-block path."
         )
     ext = np.zeros((Vp, 6), dtype)
     ext[:V] = prob["extrinsics"]
@@ -704,7 +715,7 @@ def compute_reconstruction_covariance(
 
     import jax.numpy as jnp
 
-    cam_cov, track_cov, cost, nres = joint_covariance_dense(
+    common_args = (
         jnp.asarray(ext),
         jnp.asarray(intr_in),
         jnp.asarray(pts),
@@ -716,12 +727,63 @@ def compute_reconstruction_covariance(
         jnp.asarray(slot["mask"]),
         jnp.asarray(cam_free),
         jnp.asarray(pt_free),
+    )
+    common_kw = dict(
         present_models=present,
         num_views=Vp,
         num_tracks=Tp,
         max_track_len=slot["L"],
         num_groups=Gp,
         options=options,
+    )
+    if selected:
+        from .covariance import selected_covariance_pcg
+
+        req_views = [int(v) for v in view_ids if cam_free[v]]
+        req_tracks = [
+            int(t) for t in (track_ids or ()) if pt_free[t]
+        ]
+        # Track marginals need S^-1 columns at their observing views.
+        solve_views = list(dict.fromkeys(req_views))
+        have = set(solve_views)
+        for t in req_tracks:
+            for row in recon.track_observations(t):
+                v = int(recon.obs_view[row])
+                if cam_free[v] and v not in have:
+                    have.add(v)
+                    solve_views.append(v)
+        if not solve_views:
+            return {}, {}, 0.0
+        # Pad the selection to a pow2 so repeated queries share compiles.
+        Kp = _pad_pow2(len(solve_views), 4)
+        sel_v = np.full((Kp,), solve_views[0], np.int32)
+        sel_v[: len(solve_views)] = solve_views
+        Ktp = _pad_pow2(max(len(req_tracks), 1), 4)
+        sel_t = np.zeros((Ktp,), np.int32)
+        sel_t[: len(req_tracks)] = req_tracks
+        cam_cov, track_cov, cost, nres, cg_res = selected_covariance_pcg(
+            *common_args,
+            jnp.asarray(sel_v),
+            jnp.asarray(sel_t),
+            **common_kw,
+        )
+        cam_cov = np.asarray(cam_cov)
+        track_cov = np.asarray(track_cov)
+        n_params = 6 * int(cam_free[:V].sum()) + 3 * int(pt_free[:T].sum())
+        dof = max(int(nres) - n_params, 1)
+        variance_factor = 2.0 * float(cost) / dof
+        pos = {v: i for i, v in enumerate(solve_views)}
+        cam_out = {
+            v: cam_cov[pos[v]] * variance_factor for v in req_views
+        }
+        track_out = {
+            t: track_cov[i] * variance_factor
+            for i, t in enumerate(req_tracks)
+        }
+        return cam_out, track_out, variance_factor
+
+    cam_cov, track_cov, cost, nres = joint_covariance_dense(
+        *common_args, **common_kw
     )
     cam_cov = np.asarray(cam_cov)
     track_cov = np.asarray(track_cov)

@@ -116,3 +116,48 @@ def test_joint_reconstruction_covariance_entry(rng):
     for cov in list(track_covs.values())[:5]:
         ev = np.linalg.eigvalsh(cov)
         assert np.all(ev > 0), ev
+
+
+def test_selected_covariance_matches_dense(rng):
+    """The matrix-free selected-block covariance (PCG against the
+    implicit Schur operator) must reproduce the exact dense-path blocks
+    — the mechanism that scales `compute_reconstruction_covariance`
+    past the dense bound."""
+    from pytheiasfm_tpu.ba.entry import compute_reconstruction_covariance
+    from pytheiasfm_tpu.ba.lm import BundleAdjustmentOptions
+    from pytheiasfm_tpu.pipelines.synthetic_global import build_scene
+    from pytheiasfm_tpu.sfm.estimator_options import (
+        ReconstructionEstimatorOptions,
+        ReconstructionEstimatorType,
+    )
+    from pytheiasfm_tpu.sfm.reconstruction_estimator import (
+        create_reconstruction_estimator,
+    )
+
+    recon, graph, _gt = build_scene(V=24, T=800, neighborhood=8, seed=3)
+    options = ReconstructionEstimatorOptions(
+        reconstruction_estimator_type=ReconstructionEstimatorType.GLOBAL
+    )
+    assert create_reconstruction_estimator(options).estimate(
+        graph, recon
+    ).success
+    ba = BundleAdjustmentOptions()
+    dense_cams, dense_tracks, vf_d = compute_reconstruction_covariance(
+        ba, recon, constant_views=(0, 1)
+    )
+    view_ids = sorted(dense_cams)[:6]
+    track_ids = [t for t in sorted(dense_tracks)[:4]]
+    sel_cams, sel_tracks, vf_s = compute_reconstruction_covariance(
+        ba, recon, constant_views=(0, 1),
+        view_ids=view_ids, track_ids=track_ids,
+    )
+    np.testing.assert_allclose(vf_s, vf_d, rtol=1e-6)
+    assert set(sel_cams) == set(view_ids)
+    for v in view_ids:
+        np.testing.assert_allclose(
+            sel_cams[v], dense_cams[v], rtol=1e-3, atol=1e-12
+        )
+    for t in track_ids:
+        np.testing.assert_allclose(
+            sel_tracks[t], dense_tracks[t], rtol=1e-3, atol=1e-12
+        )
