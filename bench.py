@@ -303,6 +303,84 @@ def bench_pipeline_5288():
     return second
 
 
+def bench_ba_5288_kernel(iters=30):
+    """Trafalgar-scale BA at the KERNEL interface (5288 cams / 250k
+    tracks / 1.5M obs, rowchunk iterative-Schur, free-intrinsics path
+    disabled — pure camera/point solve), f32 and mixed-precision.
+    Baseline: Trafalgar BA 142.10 s (performance.md:68). Measured
+    round 5: f32 280 ms/LM-iter at the TC=32768 scan chunking; the bf16
+    matvec variant is SLOWER here (368 ms) — at the optimal chunking the
+    f32 schedule is already fusion-limited and the pack conversion only
+    adds copies — so f32 is the production default and both are tracked."""
+    import dataclasses as _dc
+
+    import jax
+    import jax.numpy as jnp
+
+    from pytheiasfm_tpu.ba import entry as E
+    from pytheiasfm_tpu.ba.iterative_schur import bundle_adjust_iterative
+    from pytheiasfm_tpu.ba.lm import BundleAdjustmentOptions
+    from pytheiasfm_tpu.models.intrinsics import CameraIntrinsicsModelType as M
+
+    V, T = 5288, 250_000
+    prob = build_problem(V=V, T=T, obs_per_track=6)
+    Vp = E._pad_soft(V, 8, 512, 256)
+    Tp = E._pad_soft(T, 64, 16384, 16384)
+    flat = {k: np.asarray(prob[k]) for k in (
+        "obs_view", "obs_track", "obs_uv", "obs_sqrt_info", "obs_mask",
+    )}
+    slot = E._slot_layout(flat, Tp, np.float32)
+    rc = E._rowchunk_layout(slot, Vp)
+    L = slot["L"]
+    ext = np.zeros((Vp, 6), np.float32)
+    ext[:V] = np.asarray(prob["extrinsics"])
+    pts = np.zeros((Tp, 3), np.float32)
+    pts[:T] = np.asarray(prob["points"])
+    cam_free = np.zeros((Vp,), bool)
+    cam_free[:V] = np.asarray(prob["camera_free"])
+    pt_free = np.zeros((Tp,), bool)
+    pt_free[:T] = True
+    base = BundleAdjustmentOptions(
+        max_num_iterations=iters, function_tolerance=0.0,
+        max_iterations_per_launch=iters,
+    )
+
+    def run(opts):
+        out = bundle_adjust_iterative(
+            jnp.asarray(ext), prob["intrinsics"], jnp.asarray(pts),
+            jnp.asarray(np.zeros((Vp,), np.int32)),
+            prob["group_model_idx"],
+            jnp.asarray(slot["track_views"]), jnp.asarray(slot["uv"]),
+            jnp.asarray(slot["info"]), jnp.asarray(slot["mask"]),
+            jnp.asarray(rc["row_view"]), jnp.asarray(rc["rc_src"]),
+            jnp.asarray(rc["rc_mask"]),
+            jnp.asarray(cam_free), jnp.asarray(pt_free),
+            jnp.asarray(np.zeros((1, prob["intrinsics"].shape[1]), bool)),
+            present_models=(int(M.PINHOLE),),
+            num_views=Vp, num_tracks=Tp, max_track_len=L,
+            num_rows=rc["R"], row_chunk=rc["C"], num_groups=1,
+            options=opts,
+        )
+        np.asarray(out[0])
+        np.asarray(out[2])
+        return out
+
+    def timed(opts):
+        out = run(opts)  # compile
+        t0 = time.perf_counter()
+        out = run(opts)
+        return time.perf_counter() - t0, float(out[3].final_cost)
+
+    t_f32, cost_f32 = timed(base)
+    t_mixed, cost_mixed = timed(
+        _dc.replace(base, use_mixed_precision_solves=True)
+    )
+    return dict(
+        f32_s=t_f32, f32_final_cost=cost_f32,
+        mixed_s=t_mixed, mixed_final_cost=cost_mixed, iters=iters,
+    )
+
+
 def bench_matching(n_desc=4096, dim=128, pairs=8, reps=20):
     """Matched pairs/s/chip: image pairs fully matched per second (4096x4096
     descriptors each, Lowe ratio + symmetric check) + raw descriptor-pair
@@ -442,6 +520,10 @@ def main():
         gp5288 = bench_pipeline_5288()
     except Exception:
         gp5288 = None
+    try:
+        k5288 = bench_ba_5288_kernel()
+    except Exception:
+        k5288 = None
 
     baseline_s = 196.22  # Notre Dame BA, Ceres CPU (BASELINE.md)
     result = {
@@ -582,6 +664,18 @@ def main():
             result["pipeline5288_first_run_s"] = round(
                 gp5288["first_run_s"], 2
             )
+    if k5288 is not None:
+        # Kernel-interface Trafalgar BA rows (30 fixed LM iterations)
+        # vs Trafalgar BA 142.10 s.
+        result["ba5288_kernel_s"] = round(k5288["f32_s"], 2)
+        result["ba5288_kernel_vs_baseline"] = round(
+            142.10 / max(k5288["f32_s"], 1e-9), 2
+        )
+        result["ba5288_kernel_mixed_s"] = round(k5288["mixed_s"], 2)
+        result["ba5288_kernel_mixed_vs_baseline"] = round(
+            142.10 / max(k5288["mixed_s"], 1e-9), 2
+        )
+        result["ba5288_kernel_final_cost"] = k5288["f32_final_cost"]
     if mixed is not None:
         result["ba_mixed_precision_wallclock"] = round(mixed["elapsed"], 4)
         result["ba_mixed_precision_vs_baseline"] = round(

@@ -493,10 +493,14 @@ def _bundle_adjust_iterative_impl(
         # Chunk only past the single-shot memory envelope (~1.1M slots ~
         # Piccadilly x1.7): the scan serializes the build and costs ~4x in
         # lost fusion at sizes that fit, but is what makes Trafalgar-scale
-        # problems (1.5M+ slots) fit in HBM at all.
+        # problems (1.5M+ slots) fit in HBM at all. Chunk-size sweep at
+        # Trafalgar scale (250k tracks, 30 LM iters, v5e): TC=16384
+        # 392 ms/iter, TC=32768 283 ms/iter (fewer serialization points),
+        # TC=65536 399 ms/iter (intermediates blow the HBM envelope
+        # again) — 32768 is the sweet spot and the preferred candidate.
         TC = T
         if T * L > _SCAN_SLOT_THRESHOLD:
-            for cand in (16384, 8192):
+            for cand in (32768, 16384, 8192):
                 if T % cand == 0:
                     TC = cand
                     break

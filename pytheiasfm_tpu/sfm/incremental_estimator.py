@@ -28,6 +28,7 @@ from .estimator_options import (
 from .localize import (
     LocalizeViewToReconstructionOptions,
     localize_view_to_reconstruction,
+    localize_views_to_reconstruction_batch,
 )
 from .reconstruction_estimator_utils import (
     num_estimated_tracks,
@@ -109,55 +110,73 @@ class IncrementalReconstructionEstimator:
             self.num_optimized_views = len(self.reconstructed_views)
 
         # Step 4-6 loop: localize -> triangulate -> BA (.cc:205-298).
+        # BATCHED mapping of the reference's candidate sweep: the reference
+        # localizes the ranked candidates one at a time, re-triangulating
+        # and bundle-adjusting after each (.cc:221-298) — at 200+ views
+        # that schedule is one RANSAC launch, one triangulation launch,
+        # and one BA PER VIEW. Here each pass localizes the candidates
+        # within `multiple_view_localization_ratio` of the best visibility
+        # score (capped at the partial-BA window so every new view is
+        # optimized before the next pass) in ONE vmapped RANSAC launch,
+        # triangulates the union of their tracks in one launch, and runs
+        # one partial/full BA — same growth policy, device-shaped.
         views_to_localize: list[int] = []
         failed = -1
         while self.unlocalized_views and failed != len(views_to_localize):
             failed = 0
             t0 = time.perf_counter()
-            views_to_localize = self._find_views_to_localize()
+            scored = self._find_views_to_localize(with_scores=True)
             self.summary.pose_estimation_time += time.perf_counter() - t0
-            if not views_to_localize:
+            if not scored:
                 break
+            best_score = scored[0][0]
+            cutoff = best_score * opt.multiple_view_localization_ratio
+            batch = [v for s, v in scored if s >= cutoff]
+            batch = batch[: max(1, opt.partial_bundle_adjustment_num_views)]
+            views_to_localize = batch
             logger.info(
-                "localizing %d candidate views (%d unlocalized)",
-                len(views_to_localize),
+                "localizing %d candidate views in one launch (%d unlocalized)",
+                len(batch),
                 len(self.unlocalized_views),
             )
-            for v in views_to_localize:
-                t0 = time.perf_counter()
-                ok, _ = localize_view_to_reconstruction(
-                    v, self.localization_options, recon
-                )
-                self.summary.pose_estimation_time += time.perf_counter() - t0
-                if not ok:
-                    failed += 1
-                    continue
-                self.reconstructed_views.append(v)
-                self.unlocalized_views.discard(v)
+            t0 = time.perf_counter()
+            localized = localize_views_to_reconstruction_batch(
+                batch, self.localization_options, recon
+            )
+            self.summary.pose_estimation_time += time.perf_counter() - t0
+            failed = len(batch) - len(localized)
+            if not localized:
+                continue
+            new_views = list(localized)
+            self.reconstructed_views.extend(new_views)
+            self.unlocalized_views -= set(new_views)
 
-                # Outlier tracks seen in the new view (.cc:236-246).
-                set_outlier_tracks_to_unestimated(
-                    recon,
-                    self.triangulation_options.max_acceptable_reprojection_error_pixels,
-                    self.triangulation_options.min_triangulation_angle_degrees,
-                    track_ids=recon.tracks_in_view(v),
-                )
+            # Outlier tracks seen in the new views (.cc:236-246).
+            tracks_new: set[int] = set()
+            for v in new_views:
+                tracks_new.update(recon.tracks_in_view(v))
+            set_outlier_tracks_to_unestimated(
+                recon,
+                self.triangulation_options.max_acceptable_reprojection_error_pixels,
+                self.triangulation_options.min_triangulation_angle_degrees,
+                track_ids=tracks_new,
+            )
 
-                t0 = time.perf_counter()
-                self._estimate_structure(v)
-                self.summary.triangulation_time += time.perf_counter() - t0
+            t0 = time.perf_counter()
+            estimate_tracks(recon, tracks_new, self.triangulation_options)
+            self.summary.triangulation_time += time.perf_counter() - t0
 
-                t0 = time.perf_counter()
-                if (
-                    self._unoptimized_growth_percentage()
-                    < opt.full_bundle_adjustment_growth_percent
-                ):
-                    self._partial_bundle_adjustment()
-                else:
-                    self._full_bundle_adjustment()
-                    set_underconstrained_tracks_to_unestimated(recon)
-                    set_underconstrained_views_to_unestimated(recon)
-                self.summary.bundle_adjustment_time += time.perf_counter() - t0
+            t0 = time.perf_counter()
+            if (
+                self._unoptimized_growth_percentage()
+                < opt.full_bundle_adjustment_growth_percent
+            ):
+                self._partial_bundle_adjustment()
+            else:
+                self._full_bundle_adjustment()
+                set_underconstrained_tracks_to_unestimated(recon)
+                set_underconstrained_views_to_unestimated(recon)
+            self.summary.bundle_adjustment_time += time.perf_counter() - t0
 
         # Final full BA + pruning (.cc end of Estimate).
         t0 = time.perf_counter()
@@ -226,7 +245,7 @@ class IncrementalReconstructionEstimator:
         recon.view_estimated[v1] = True
         recon.view_estimated[v2] = True
 
-    def _find_views_to_localize(self) -> list[int]:
+    def _find_views_to_localize(self, with_scores: bool = False):
         """Parity: `FindViewsToLocalize` (.cc:427-464): rank unlocalized
         views by visibility-pyramid score over their estimated tracks."""
         recon = self.recon
@@ -244,6 +263,8 @@ class IncrementalReconstructionEstimator:
             if n >= kMinNumObserved3dPoints:
                 scores.append((pyramid.compute_score(), v))
         scores.sort(reverse=True)
+        if with_scores:
+            return scores
         return [v for _, v in scores]
 
     def _estimate_structure(self, view_id: int):

@@ -28,7 +28,11 @@ from ..ransac.estimators import (
 from ..ops import rotation as rotops
 from .reconstruction_estimator_utils import compute_resolution_scaled_threshold
 
-__all__ = ["LocalizeViewToReconstructionOptions", "localize_view_to_reconstruction"]
+__all__ = [
+    "LocalizeViewToReconstructionOptions",
+    "localize_view_to_reconstruction",
+    "localize_views_to_reconstruction_batch",
+]
 
 
 @dataclasses.dataclass
@@ -157,3 +161,139 @@ def localize_view_to_reconstruction(
             recon.view_estimated[view_id] = False
             return False, summary
     return True, summary
+
+
+# --------------------------------------------------------------- batched
+
+
+from functools import partial as _partial
+
+
+@_partial(jax.jit, static_argnames=("params", "pnp_type"))
+def _batched_localize_run(keys, feats, pts, mask, thresh, params, pnp_type):
+    """vmapped calibrated-absolute-pose RANSAC over the view axis.
+
+    Module-level jit with (params, pnp_type) static so every caller at the
+    same shapes shares ONE compilation (the per-view path pays a full
+    RANSAC launch per view — at 200+ views that is the incremental loop's
+    entire wall clock)."""
+
+    def one(key, f, p, m, th):
+        model, summary = estimate_calibrated_absolute_pose_typed(
+            key, f, p,
+            dataclasses.replace(params, error_thresh=1.0),  # overridden
+            pnp_type=pnp_type, mask=m, error_thresh=th,
+        )
+        return (
+            model.rotation,
+            model.position,
+            summary.num_inliers,
+        )
+
+    return jax.vmap(one)(keys, feats, pts, mask, thresh)
+
+
+def localize_views_to_reconstruction_batch(
+    view_ids,
+    options: LocalizeViewToReconstructionOptions,
+    recon,
+    key: jax.Array | None = None,
+):
+    """Localize a BATCH of views against the current reconstruction in one
+    device program — the TPU-native mapping of the reference's
+    candidate-list localization sweep (`incremental_reconstruction_
+    estimator.cc:221-246`; one `LocalizeViewToReconstruction` per view
+    there, one vmapped RANSAC launch here).
+
+    Returns {view_id: num_inliers} for the views that succeeded; their
+    extrinsics are written and they are flagged estimated. The per-view
+    single-view BA polish of the scalar path is intentionally deferred to
+    the caller's partial/full BA (running it per view would serialize the
+    batch again)."""
+    if key is None:
+        key = jax.random.PRNGKey(int(view_ids[0]) if len(view_ids) else 0)
+
+    rows_per_view = []
+    kept_views = []
+    for v in view_ids:
+        rows = [
+            r
+            for t, r in recon._view_track_to_obs[v].items()
+            if recon.track_estimated[t]
+        ]
+        if len(rows) >= max(options.min_num_inliers, 4):
+            kept_views.append(v)
+            rows_per_view.append(rows)
+    if not kept_views:
+        return {}
+
+    B = len(kept_views)
+    N = 8
+    while N < max(len(r) for r in rows_per_view):
+        N *= 2
+    # Pad the BATCH axis too (pow2) so sweeps of varying candidate counts
+    # share compilations.
+    Bp = 4
+    while Bp < B:
+        Bp *= 2
+
+    dtype = recon.dtype
+    feats = np.zeros((Bp, N, 2), dtype)
+    pts = np.zeros((Bp, N, 3), dtype)
+    mask = np.zeros((Bp, N), bool)
+    thresh = np.ones((Bp,), dtype)
+    for i, (v, rows) in enumerate(zip(kept_views, rows_per_view)):
+        g = recon.view_group[v]
+        params = jnp.asarray(recon.intrinsics[g])
+        model = int(recon.group_model[g])
+        focal = float(recon.intrinsics[g][0])
+        k = len(rows)
+        pix = np.zeros((N, 2), dtype)
+        pix[:k] = recon.obs_uv[rows]
+        rays = np.asarray(
+            jax.vmap(lambda p: cam.pixel_to_normalized(params, p, model))(
+                jnp.asarray(pix)
+            )
+        )[:k]
+        feats[i, :k] = rays[:, :2] / rays[:, 2:3]
+        tracks = recon.obs_track[rows]
+        w = recon.points[tracks, 3:4]
+        pts[i, :k] = recon.points[tracks, :3] / np.where(
+            np.abs(w) < 1e-12, 1.0, w
+        )
+        mask[i, :k] = True
+        prior = recon.view_priors[v]
+        thresh_px = compute_resolution_scaled_threshold(
+            options.reprojection_error_threshold_pixels,
+            prior.image_width,
+            prior.image_height,
+        )
+        thresh[i] = (thresh_px / focal) ** 2
+    for i in range(B, Bp):
+        feats[i], pts[i], mask[i], thresh[i] = (
+            feats[0], pts[0], mask[0], thresh[0],
+        )
+
+    keys = jax.random.split(key, Bp)
+    from ..utils import counters
+
+    counters.bump("localize_batch_launch")
+    R, pos, ninl = _batched_localize_run(
+        keys, jnp.asarray(feats), jnp.asarray(pts), jnp.asarray(mask),
+        jnp.asarray(thresh), options.ransac_params, int(options.pnp_type),
+    )
+    R = np.asarray(R)
+    pos = np.asarray(pos)
+    ninl = np.asarray(ninl)
+
+    from ..ops.rotation_np import rotation_matrix_to_angle_axis_np
+
+    out = {}
+    for i, v in enumerate(kept_views):
+        if int(ninl[i]) < options.min_num_inliers:
+            continue
+        recon.view_extrinsics[v, :3] = pos[i]
+        recon.view_extrinsics[v, 3:] = rotation_matrix_to_angle_axis_np(R[i])
+        recon.view_estimated[v] = True
+        out[v] = int(ninl[i])
+    return out

@@ -105,3 +105,40 @@ def test_one_dsfm_scale_global_chain(rng):
     elapsed = time.perf_counter() - t0
     # Generous CPU budget; on TPU this chain is interactive.
     assert elapsed < 900, f"1DSfM-scale chain took {elapsed:.0f}s"
+
+
+def test_trafalgar_scale_pipeline_default_config():
+    """Trafalgar-scale (5288 views) global pipeline in the REFERENCE-DEFAULT
+    configuration (free focal+radial, manifold points). Asserts completion
+    and accuracy at the scale of the largest 1DSfM dataset
+    (performance.md:68: 880.74 s total / BA 142.10 s on the 2016 CPU
+    baseline). Runs on whatever backend the session provides; the CPU tier
+    gets a generous wall-clock bound."""
+    from pytheiasfm_tpu.pipelines import synthetic_global as sg
+
+    t0 = time.perf_counter()
+    out = sg.run(V=5288, T=100_000, seed=0, calibrated=False)
+    elapsed = time.perf_counter() - t0
+    assert out["success"]
+    assert out["views"] >= 5280, out["views"]
+    assert out["median_pos_err"] < 0.05, out["median_pos_err"]
+    assert elapsed < 3600, f"Trafalgar-scale pipeline took {elapsed:.0f}s"
+
+
+def test_incremental_estimator_at_scale():
+    """Incremental SfM at 220 views through the batched localization loop
+    (FindViewsToLocalize -> one vmapped PnP RANSAC launch per pass ->
+    union triangulation -> partial/full BA). Parity target:
+    `incremental_reconstruction_estimator.cc:161-298`, which localizes the
+    same candidate sweep one view at a time."""
+    from pytheiasfm_tpu.pipelines import synthetic_global as sg
+
+    t0 = time.perf_counter()
+    out = sg.run(
+        V=220, T=12_000, seed=1, estimator_type="incremental"
+    )
+    elapsed = time.perf_counter() - t0
+    assert out["success"]
+    assert out["views"] >= 200, out["views"]
+    assert out["median_pos_err"] < 0.05, out["median_pos_err"]
+    assert elapsed < 1800, f"incremental 220-view run took {elapsed:.0f}s"
