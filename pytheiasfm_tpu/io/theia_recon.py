@@ -411,6 +411,46 @@ class _Reader:
             reference_bearing,
         )
 
+    def tracks_fast(self, n_tracks: int):
+        """Parse `n_tracks` modern-dialect track records with one tight
+        struct.unpack_from loop (no per-field method dispatch — the
+        16.6k-track fountain archive spent ~0.3 s in `track()`'s method
+        calls). Same wire layout as `track()`; the first record primes the
+        class-version cache via the slow path."""
+        out = []
+        if n_tracks > 0 and "Track" not in self.versions:
+            tid0 = self.u32()
+            out.append((tid0, self.track()))
+            n_tracks -= 1
+        data = self.data
+        off = self.off
+        upk = struct.unpack_from
+        fromb = np.frombuffer
+        for _ in range(n_tracks):
+            (tid,) = upk("<I", data, off)
+            off += 4
+            is_est = data[off] != 0
+            (n_views,) = upk("<Q", data, off + 1)
+            off += 9
+            view_ids = fromb(data, "<u4", n_views, off).tolist()
+            off += 4 * n_views
+            ref_vid, = upk("<I", data, off)
+            inv_depth, = upk("<d", data, off + 4)
+            # Vector4d, Matrix<u8,3,1>, Vector3d eigen records (fixed
+            # rows/cols headers validated by the final EOF check).
+            point = fromb(data, "<f8", 4, off + 20).copy()
+            color = fromb(data, "u1", 3, off + 60).copy()
+            bearing = fromb(data, "<f8", 3, off + 71).copy()
+            off += 95
+            dr, dc = upk("<ii", data, off)
+            off += 8 + 4 * dr * dc  # reference_descriptor_ VectorXf
+            out.append(
+                (tid, (is_est, view_ids, ref_vid, inv_depth, point, color,
+                       bearing))
+            )
+        self.off = off
+        return out
+
     def two_view_info(self) -> TwoViewInfo:
         v = self.version("TwoViewInfo")
         info = TwoViewInfo()
@@ -449,10 +489,13 @@ def _parse_reconstruction(data: bytes, legacy: bool):
         vid = r.u32()
         views[vid] = r.view()
     n_tracks = r.u64()
-    tracks = {}
-    for _ in range(n_tracks):
-        tid = r.u32()
-        tracks[tid] = r.track()
+    if legacy:
+        tracks = {}
+        for _ in range(n_tracks):
+            tid = r.u32()
+            tracks[tid] = r.track()
+    else:
+        tracks = dict(r.tracks_fast(n_tracks))
     view_to_group = {}
     for _ in range(r.u64()):
         vid = r.u32()

@@ -18,6 +18,7 @@ from __future__ import annotations
 
 import jax
 import jax.numpy as jnp
+from functools import partial as _partial
 
 from ..ops import rotation as rot
 from . import intrinsics as intr
@@ -86,6 +87,17 @@ def project_point(extrinsics, intrinsics, point3, model):
 def pixel_to_normalized(intrinsics, pixel, model):
     """Pixel -> normalized camera-frame ray (intrinsics removed)."""
     return intr.pixel_to_camera(intrinsics, pixel, model)
+
+
+@_partial(jax.jit, static_argnames=("model",))
+def pixel_to_normalized_batch(intrinsics, pixels, model):
+    """[N, 2] pixels -> [N, 3] rays, as ONE cached compilation per
+    (model, shape). Call sites previously built `jax.vmap(lambda ...)`
+    closures ad hoc — each call re-traced the vmap (~90 ms of pure host
+    tracing per call, most of the fountain pipeline's non-device time)."""
+    return jax.vmap(lambda p: intr.pixel_to_camera(intrinsics, p, model))(
+        pixels
+    )
 
 
 def pixel_to_unit_depth_ray(extrinsics, intrinsics, pixel, model):

@@ -280,8 +280,8 @@ class GlobalReconstructionEstimator:
             pix = np.zeros((pad, 2))
             pix[: len(rows)] = recon.obs_uv[rows]
             ray = np.asarray(
-                jax.vmap(lambda p: cam.pixel_to_normalized(params, p, model))(
-                    jnp.asarray(pix)
+                cam.pixel_to_normalized_batch(
+                    params, jnp.asarray(pix), model
                 )
             )
             norm_uv[rows] = (ray[:, :2] / ray[:, 2:3])[: len(rows)]

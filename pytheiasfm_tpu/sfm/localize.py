@@ -86,8 +86,8 @@ def localize_view_to_reconstruction(
         pad *= 2
     pix_np = np.zeros((pad, 2), recon.dtype)
     pix_np[:k] = recon.obs_uv[rows]
-    rays = jax.vmap(lambda p: cam.pixel_to_normalized(params, p, model))(
-        jnp.asarray(pix_np)
+    rays = cam.pixel_to_normalized_batch(
+        params, jnp.asarray(pix_np), model
     )[:k]
     norm_feats = rays[:, :2] / rays[:, 2:3]
 
@@ -251,8 +251,8 @@ def localize_views_to_reconstruction_batch(
         pix = np.zeros((N, 2), dtype)
         pix[:k] = recon.obs_uv[rows]
         rays = np.asarray(
-            jax.vmap(lambda p: cam.pixel_to_normalized(params, p, model))(
-                jnp.asarray(pix)
+            cam.pixel_to_normalized_batch(
+                params, jnp.asarray(pix), model
             )
         )[:k]
         feats[i, :k] = rays[:, :2] / rays[:, 2:3]

@@ -201,8 +201,8 @@ def _normalized_obs_by_group(recon, obs_rows: np.ndarray):
         pix = np.zeros((pad, 2), recon.dtype)
         pix[:k] = recon.obs_uv[rows]
         n = np.asarray(
-            jax.vmap(lambda p: cam.pixel_to_normalized(params, p, model))(
-                jnp.asarray(pix)
+            cam.pixel_to_normalized_batch(
+                params, jnp.asarray(pix), model
             )
         )[:k]
         norm[sel] = n[:, :2] / n[:, 2:3]
@@ -255,15 +255,18 @@ def estimate_tracks(
 
     all_rows = np.asarray([r for rows in obs_lists for r in rows], np.int64)
     norm_all, focal_all = _normalized_obs_by_group(recon, all_rows)
-    cursor = 0
-    for i, rows in enumerate(obs_lists):
-        k = len(rows)
-        views = recon.obs_view[rows]
-        track_ext[i, :k] = recon.view_extrinsics[views]
-        track_uv[i, :k] = norm_all[cursor : cursor + k]
-        track_focal[i, :k] = focal_all[cursor : cursor + k]
-        slot_mask[i, :k] = True
-        cursor += k
+    # Vectorized slot fill (the per-candidate Python loop here was ~0.2 s
+    # per fountain triangulation pass at 16k tracks).
+    lengths = np.asarray([len(rows) for rows in obs_lists])
+    i_idx = np.repeat(np.arange(T), lengths)
+    starts = np.zeros(T + 1, np.int64)
+    np.cumsum(lengths, out=starts[1:])
+    k_idx = np.arange(len(all_rows)) - starts[i_idx]
+    views_all = recon.obs_view[all_rows]
+    track_ext[i_idx, k_idx] = recon.view_extrinsics[views_all]
+    track_uv[i_idx, k_idx] = norm_all
+    track_focal[i_idx, k_idx] = focal_all
+    slot_mask[i_idx, k_idx] = True
 
     from ..utils import counters
 
