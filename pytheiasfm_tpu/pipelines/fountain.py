@@ -261,7 +261,15 @@ def build_view_graph(recon, seed=0, min_inliers=30, max_ransac_iterations=256):
     return graph
 
 
-def run_estimator(recon, graph, estimator_type: str = "global", seed: int = 0):
+def run_estimator(
+    recon, graph, estimator_type: str = "global", seed: int = 0,
+    calibrated: bool = False,
+):
+    """`calibrated=True` holds intrinsics at their priors (XYZW tracks) —
+    the reference's own Strecha methodology (its fountain-11 benchmark
+    feeds per-camera calibration files, performance.md:12); the default
+    keeps the reference-default free focal+radial configuration."""
+    from ..ba.lm import OptimizeIntrinsicsType, TrackParametrizationType
     from ..sfm.estimator_options import (
         ReconstructionEstimatorOptions,
         ReconstructionEstimatorType,
@@ -276,6 +284,9 @@ def run_estimator(recon, graph, estimator_type: str = "global", seed: int = 0):
         }[estimator_type],
         rng_seed=seed,
     )
+    if calibrated:
+        options.intrinsics_to_optimize = OptimizeIntrinsicsType.NONE
+        options.track_parametrization_type = TrackParametrizationType.XYZW
     estimator = create_reconstruction_estimator(options)
     return estimator.estimate(graph, recon)
 
@@ -309,6 +320,7 @@ def evaluate(
     fountain_path: str = DEFAULT_FOUNTAIN,
     gt_path: str = DEFAULT_GT,
     _base_recon=None,
+    calibrated: bool = False,
 ):
     """One full tracks->reconstruction->ATE run with per-phase timings."""
     from ..io.theia_recon import read_theia_reconstruction
@@ -326,7 +338,7 @@ def evaluate(
     t_verify = time.perf_counter() - t0
 
     t0 = time.perf_counter()
-    summary = run_estimator(recon, graph, estimator_type, seed)
+    summary = run_estimator(recon, graph, estimator_type, seed, calibrated)
     t_sfm = time.perf_counter() - t0
 
     err_mm, n_est = sim3_ate_mm(recon, gt)
