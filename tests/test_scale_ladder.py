@@ -115,14 +115,38 @@ def test_trafalgar_scale_pipeline_default_config():
     baseline). Runs on whatever backend the session provides; the CPU tier
     gets a generous wall-clock bound."""
     from pytheiasfm_tpu.pipelines import synthetic_global as sg
+    from pytheiasfm_tpu.sfm.estimator_options import (
+        ReconstructionEstimatorOptions,
+        ReconstructionEstimatorType,
+    )
+    from pytheiasfm_tpu.sfm.reconstruction_estimator import (
+        create_reconstruction_estimator,
+    )
+    from pytheiasfm_tpu.transforms.alignment import align_point_clouds_umeyama
 
     t0 = time.perf_counter()
-    out = sg.run(V=5288, T=100_000, seed=0, calibrated=False)
+    # Exactly the bench.py Trafalgar configuration (verified on the TPU:
+    # 5287/5288 views at 9.6 mm median). The CPU tier runs the same f64
+    # math; the wall-clock bound is sized for the 2-CPU test host.
+    recon, graph, gt_positions = sg.build_scene(V=5288, T=250_000, seed=0)
+    options = ReconstructionEstimatorOptions(
+        reconstruction_estimator_type=ReconstructionEstimatorType.GLOBAL,
+        rng_seed=0,
+    )
+    summary = create_reconstruction_estimator(options).estimate(graph, recon)
     elapsed = time.perf_counter() - t0
-    assert out["success"]
-    assert out["views"] >= 5280, out["views"]
-    assert out["median_pos_err"] < 0.05, out["median_pos_err"]
-    assert elapsed < 3600, f"Trafalgar-scale pipeline took {elapsed:.0f}s"
+    assert summary.success
+    est_ids = [
+        v for v in range(recon.num_views()) if recon.view_estimated[v]
+    ]
+    assert len(est_ids) >= 5200, len(est_ids)
+    est = recon.view_extrinsics[est_ids, :3]
+    gt = gt_positions[est_ids]
+    Ra, ta, s = align_point_clouds_umeyama(est, gt)
+    aligned = s * est @ np.asarray(Ra).T + np.asarray(ta)
+    err = np.linalg.norm(aligned - gt, axis=-1)
+    assert np.median(err) < 0.05, np.median(err)
+    assert elapsed < 7200, f"Trafalgar-scale pipeline took {elapsed:.0f}s"
 
 
 def test_incremental_estimator_at_scale():
