@@ -169,6 +169,31 @@ def _bundle_adjust_iterative_impl(
     # intrinsics in the PCG state.
     exact_elim = has_intr and G == 1
     joint_intr = has_intr and G > 1
+    # Static free-column compression of the intrinsics block: with ONE
+    # shared camera model (the exact-elimination case) the optimized
+    # subset is known at trace time from the options, so the Jacobian,
+    # the pack columns, and the elimination all run on the Fi free
+    # columns instead of all P — PINHOLE's reference-default
+    # focal+radial is 3 of 10, shrinking Ji from 20 to 6 pack floats per
+    # slot and Ug from 100 to 9. `intrinsics_free` may further freeze a
+    # SUBSET of these columns (it is applied per-column below); columns
+    # outside the options-derived set are frozen by construction, which
+    # is the contract the public entry already follows.
+    if exact_elim:
+        from ..models.intrinsics import intrinsics_subset_mask
+
+        _mask = intrinsics_subset_mask(
+            int(present_models[0]), options.intrinsics_to_optimize
+        )
+        free_cols = tuple(
+            i for i in range(P) if i < len(_mask) and bool(_mask[i])
+        )
+        if not free_cols:
+            free_cols = tuple(range(P))
+    else:
+        free_cols = tuple(range(P))
+    Fi = len(free_cols)
+    cols = jnp.asarray(free_cols, jnp.int32)
     # Two-level preconditioner (large problems): block-Jacobi kills local
     # error but leaves the long-wavelength camera modes of weakly-connected
     # graphs nearly untouched — measured on the 2152-camera ring, PCG ran
@@ -222,11 +247,12 @@ def _bundle_adjust_iterative_impl(
     maskf = obs_mask.astype(dtype)  # [T, L]
     cam_free_slot = cam_free[track_views][:, :, None, :]  # [T,L,1,6]
     pt_free_slot = pt_free[:, None, None, :]  # [T,1,1,1]
+    intr_freeF = intr_free[:, cols] if has_intr else None  # [G, Fi]
     if has_intr:
         if G == 1:
-            intr_free_slot = intr_free[0][None, None, None, :]
+            intr_free_slot = intr_freeF[0][None, None, None, :]
         else:
-            intr_free_slot = intr_free[group_slot][:, :, None, :]
+            intr_free_slot = intr_freeF[group_slot][:, :, None, :]
         intr_slot_const = None
     else:
         intr_free_slot = None
@@ -278,7 +304,16 @@ def _bundle_adjust_iterative_impl(
                 if not with_jac:
                     return r, 0, 0, 0
                 Jc = jax.jacfwd(f, 0)(*args)
-                Ji = jax.jacfwd(f, 1)(*args) if has_intr else 0
+                if has_intr:
+                    # Differentiate only the statically-free columns.
+                    Ji = jax.jacfwd(
+                        lambda qf: f(
+                            e6, q.at[cols].set(qf), zeros3, x4, B, uv,
+                            si, idx,
+                        )
+                    )(q[cols])
+                else:
+                    Ji = 0
                 Jp = jax.jacfwd(f, 2)(*args)
                 return r, Jc, Ji, Jp
 
@@ -297,7 +332,12 @@ def _bundle_adjust_iterative_impl(
                 if not with_jac:
                     return r, 0, 0, 0
                 Jc = jax.jacfwd(f, 0)(*args)
-                Ji = jax.jacfwd(f, 1)(*args) if has_intr else 0
+                if has_intr:
+                    Ji = jax.jacfwd(
+                        lambda qf: f(e6, q.at[cols].set(qf), p3, uv, si, idx)
+                    )(q[cols])
+                else:
+                    Ji = 0
                 Jp = jax.jacfwd(f, 2)(*args)
                 return r, Jc, Ji, Jp
 
@@ -340,7 +380,7 @@ def _bundle_adjust_iterative_impl(
 
     eyeK = jnp.eye(K, dtype=dtype)
     eye6 = jnp.eye(6, dtype=dtype)
-    eyeP = jnp.eye(P, dtype=dtype)
+    eyeF = jnp.eye(Fi, dtype=dtype)
 
     def apply_step(pts, dp):
         if manifold:
@@ -423,9 +463,9 @@ def _bundle_adjust_iterative_impl(
                 # couples every slot pair of a track), hence Wi_t.
                 Wi_t = jnp.sum(Wi, axis=1)  # [Tc,P,K]
                 Yi_t = _ab(Wi_t, Vinv)  # [Tc,P,K]
-                ji_cross = JcX[..., 6 + K + 1 :]  # [Tc,L,6,P]
+                ji_cross = JcX[..., 6 + K + 1 :]  # [Tc,L,6,Fi]
                 B_slot = (ji_cross - _abt(Y, Wi_t[:, None])).reshape(
-                    Tc, L, 6 * P
+                    Tc, L, 6 * Fi
                 )
                 packs.append(B_slot)
                 # Global reductions straight from the track layout
@@ -442,7 +482,7 @@ def _bundle_adjust_iterative_impl(
                 # in the PCG state (slot-diagonal preconditioner).
                 di_slot = jnp.einsum("tlii->tli", Ug_slot)
                 Yi = _ab(Wi, Vinv[:, None])
-                Mg_slot = (Ug_slot - _abt(Yi, Wi)).reshape(Tc, L, P * P)
+                Mg_slot = (Ug_slot - _abt(Yi, Wi)).reshape(Tc, L, Fi * Fi)
                 wi0_slot = _av(Yi, bp[:, None])
                 packs += [Mg_slot, ai_slot, di_slot, wi0_slot]
             # The Jacobian rows needed by the matvec adjoint ride the
@@ -450,7 +490,7 @@ def _bundle_adjust_iterative_impl(
             # the same as 64-wide — the gather is index-floor-bound).
             packs.append(Jc_c.reshape(Tc, L, 12))
             if joint_intr:
-                packs.append(Ji_c.reshape(Tc, L, 2 * P))
+                packs.append(Ji_c.reshape(Tc, L, 2 * Fi))
             pack_c = jnp.concatenate(packs, axis=-1)
             if use_coarse:
                 # Coarse placement product for this chunk:
@@ -520,10 +560,10 @@ def _bundle_adjust_iterative_impl(
             init = {}
             if exact_elim:
                 init.update(
-                    Sq1=jnp.zeros((P, P), dtype),
-                    bi1=jnp.zeros((P,), dtype),
-                    di1=jnp.zeros((P,), dtype),
-                    wq1=jnp.zeros((P,), dtype),
+                    Sq1=jnp.zeros((Fi, Fi), dtype),
+                    bi1=jnp.zeros((Fi,), dtype),
+                    di1=jnp.zeros((Fi,), dtype),
+                    wq1=jnp.zeros((Fi,), dtype),
                 )
             if use_coarse:
                 init["Sc_off"] = jnp.zeros((Vc, 6, Vc, 6), dtype)
@@ -549,7 +589,7 @@ def _bundle_adjust_iterative_impl(
             Di1 = jnp.maximum(part["di1"], 1e-6)
             gq1 = bi1 - part["wq1"]
         F = pack.shape[-1]
-        njc = 12 + (2 * P if joint_intr else 0)
+        njc = 12 + (2 * Fi if joint_intr else 0)
         Fred = F - njc  # columns that feed the view reduction
         # Pad the packed row to a 64-float boundary: TPU row gathers run
         # ~4.5x faster on 256-byte-aligned rows (measured 15 ms vs 70 ms
@@ -588,12 +628,12 @@ def _bundle_adjust_iterative_impl(
         )
 
         if exact_elim:
-            Bv = red[:, off : off + 6 * P].reshape(V, 6, P)
+            Bv = red[:, off : off + 6 * Fi].reshape(V, 6, Fi)
             Sq_d = (
                 Sq1
-                + mu * (eyeP * Di1[None, :])
-                + eyeP * (1.0 - intr_free[0])[None, :]
-                + 1e-8 * eyeP
+                + mu * (eyeF * Di1[None, :])
+                + eyeF * (1.0 - intr_freeF[0])[None, :]
+                + 1e-8 * eyeF
             )
             Sq_inv1 = jnp.linalg.inv(Sq_d)
 
@@ -607,15 +647,15 @@ def _bundle_adjust_iterative_impl(
             Mv = Mv - jnp.einsum("vip,pq,vjq->vij", Bv, Sq_inv1, Bv)
         elif joint_intr:
             gi = views_to_groups(red[:, off:])
-            Mg = gi[:, : P * P].reshape(G, P, P)
-            bi = -gi[:, P * P : P * P + P]
-            Di = jnp.maximum(gi[:, P * P + P : P * P + 2 * P], 1e-6)
-            gint = bi - gi[:, P * P + 2 * P :]
+            Mg = gi[:, : Fi * Fi].reshape(G, Fi, Fi)
+            bi = -gi[:, Fi * Fi : Fi * Fi + Fi]
+            Di = jnp.maximum(gi[:, Fi * Fi + Fi : Fi * Fi + 2 * Fi], 1e-6)
+            gint = bi - gi[:, Fi * Fi + 2 * Fi :]
             Mg_d = (
                 Mg
-                + mu * (eyeP * Di[..., None, :])
-                + (1.0 - intr_free)[..., None, :] * eyeP
-                + 1e-8 * eyeP
+                + mu * (eyeF * Di[..., None, :])
+                + (1.0 - intr_freeF)[..., None, :] * eyeF
+                + 1e-8 * eyeF
             )
             Mg_inv = jnp.linalg.inv(Mg_d)
 
@@ -664,8 +704,8 @@ def _bundle_adjust_iterative_impl(
         if joint_intr:
             Ji_mv = Ji_t.astype(mm)
             Ji_rc = (
-                pack_rc[..., Fred + 12 : Fred + 12 + 2 * P]
-                .reshape(R, C, 2, P)
+                pack_rc[..., Fred + 12 : Fred + 12 + 2 * Fi]
+                .reshape(R, C, 2, Fi)
                 .astype(mm)
             )
 
@@ -758,16 +798,18 @@ def _bundle_adjust_iterative_impl(
             # Recover the eliminated intrinsics step:
             # dq = Sq^-1 (gq - B^T dc).
             dq = Sq_inv1 @ (gq1 - jnp.einsum("vip,vi->p", Bv, dc))
-            di = dq[None, :] * intr_free
+            di_f = dq[None, :] * intr_freeF
         elif joint_intr:
-            di = dxs[1] * intr_free
+            di_f = dxs[1] * intr_freeF
         else:
-            di = jnp.zeros_like(intr_c)
+            di_f = jnp.zeros((G, Fi), dtype)
+        # Scatter the compressed step back into the [G, P] state.
+        di = jnp.zeros_like(intr_c).at[:, cols].set(di_f)
 
         # Back-substitute points (full precision — one pass).
         y = jnp.sum(Jc_t * dc[track_views][..., None, :], axis=-1)
         if has_intr:
-            y = y + jnp.sum(Ji_t * di[group_slot][..., None, :], axis=-1)
+            y = y + jnp.sum(Ji_t * di_f[group_slot][..., None, :], axis=-1)
         t_ = jnp.sum(Jp_t * y[..., None], axis=(1, 2))
         dp = _av(Vinv, bp - t_) * pt_free
 
@@ -778,10 +820,10 @@ def _bundle_adjust_iterative_impl(
         )
         if exact_elim:
             pred = pred + 0.5 * jnp.sum(
-                di * (mu * Di1[None, :] * di + bi1[None, :])
+                di_f * (mu * Di1[None, :] * di_f + bi1[None, :])
             )
         elif joint_intr:
-            pred = pred + 0.5 * jnp.sum(di * (mu * Di * di + bi))
+            pred = pred + 0.5 * jnp.sum(di_f * (mu * Di * di_f + bi))
         ok = (
             jnp.all(jnp.isfinite(dc))
             & jnp.all(jnp.isfinite(dp))
