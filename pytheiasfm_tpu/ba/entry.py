@@ -533,6 +533,14 @@ def _run(
             options=options,
             priors=priors,
         )
+    # ONE batched device->host pull for the solution arrays AND the summary
+    # scalars (see utils/fetch.py: block once, then async-copy all leaves —
+    # each separate blocking np.asarray/float() is ~30-60 ms over a
+    # tunneled chip). Materializing the summary here also makes every
+    # downstream float(summary.final_cost)/int(summary.num_iterations) free.
+    from ..utils.fetch import fetch
+
+    ext, pts, intr_out, summary = fetch((ext, pts, intr_out, summary))
     ext = np.asarray(ext, recon.dtype)[:V]
     pts = np.asarray(pts, recon.dtype)[:T]
     recon.view_extrinsics[camera_free] = ext[camera_free]

@@ -976,14 +976,23 @@ def run_launch_chunked(impl, state, options: BundleAdjustmentOptions):
         chunk_options = _dc.replace(options, max_num_iterations=chunk)
         counters.bump("ba_launch")
         state, summary = impl(state, chunk_options, mu)
-        n = int(summary.num_iterations)
+        # ONE batched pull for the per-chunk control values: each separate
+        # int()/bool() is a blocking device->host round trip (~30-60 ms
+        # over a tunneled chip), and this loop runs once per launch chunk.
+        from ..utils.fetch import fetch
+
+        if summary.converged is not None:
+            n, conv = fetch((summary.num_iterations, summary.converged))
+        else:
+            n, conv = fetch(summary.num_iterations), False
+        n = int(n)
         done += n
         mu = summary.final_mu
         if first_initial is None:
             first_initial = summary.initial_cost
         if n < chunk:
             break  # converged (or immediately rejected) inside the launch
-        if summary.converged is not None and bool(summary.converged):
+        if bool(conv):
             break  # convergence exactly on the chunk boundary
     summary = BundleAdjustmentSummary(
         success=jnp.isfinite(summary.final_cost)

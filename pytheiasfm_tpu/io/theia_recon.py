@@ -451,6 +451,42 @@ class _Reader:
         self.off = off
         return out
 
+    _LEGACY_NO_BEARING = np.zeros(3)
+
+    def tracks_fast_legacy(self, n_tracks: int):
+        """Legacy-dialect analogue of `tracks_fast`: record after the track
+        id is is_estimated(u8) + n_views(u64) + view_ids(u32 x n) + eigen
+        Vector4d (8-byte rows/cols header + 32 bytes) + eigen
+        Matrix<u8,3,1> (header + 3 bytes). The first record primes the
+        class-version cache via the slow path."""
+        out = []
+        if n_tracks > 0 and "Track" not in self.versions:
+            tid0 = self.u32()
+            out.append((tid0, self.track()))
+            n_tracks -= 1
+        data = self.data
+        off = self.off
+        upk = struct.unpack_from
+        fromb = np.frombuffer
+        no_bearing = self._LEGACY_NO_BEARING
+        for _ in range(n_tracks):
+            (tid,) = upk("<I", data, off)
+            off += 4
+            is_est = data[off] != 0
+            (n_views,) = upk("<Q", data, off + 1)
+            off += 9
+            view_ids = fromb(data, "<u4", n_views, off).tolist()
+            off += 4 * n_views
+            point = fromb(data, "<f8", 4, off + 8).copy()
+            color = fromb(data, "u1", 3, off + 48).copy()
+            off += 51
+            out.append(
+                (tid, (is_est, view_ids, 0xFFFFFFFF, 0.0, point, color,
+                       no_bearing))
+            )
+        self.off = off
+        return out
+
     def two_view_info(self) -> TwoViewInfo:
         v = self.version("TwoViewInfo")
         info = TwoViewInfo()
@@ -490,10 +526,7 @@ def _parse_reconstruction(data: bytes, legacy: bool):
         views[vid] = r.view()
     n_tracks = r.u64()
     if legacy:
-        tracks = {}
-        for _ in range(n_tracks):
-            tid = r.u32()
-            tracks[tid] = r.track()
+        tracks = dict(r.tracks_fast_legacy(n_tracks))
     else:
         tracks = dict(r.tracks_fast(n_tracks))
     view_to_group = {}

@@ -307,7 +307,10 @@ def sim3_ate_mm(recon, gt_recon):
         gt.append(gt_recon.view_extrinsics[g, :3])
     est = np.asarray(est)
     gt = np.asarray(gt)
-    R, t, s = align_point_clouds_umeyama(est, gt)
+    from ..utils.fetch import fetch
+
+    # one batched pull (3 sequential pulls = 3 tunnel round trips)
+    R, t, s = fetch(align_point_clouds_umeyama(est, gt))
     aligned = s * est @ np.asarray(R).T + np.asarray(t)
     err_m = np.linalg.norm(aligned - gt, axis=-1)
     return err_m * 1000.0, len(est)

@@ -270,6 +270,10 @@ class GlobalReconstructionEstimator:
 
         norm_uv = np.zeros((len(recon.obs_view), 2), dtype)
         obs_group = recon.view_group[recon.obs_view]
+        # Launch all groups, pull once (a blocking pull per intrinsics
+        # group costs a tunnel round trip each; free-intrinsics scenes
+        # have one group per camera).
+        launched = []
         for g in np.unique(obs_group):
             rows = np.nonzero(obs_group == g)[0]
             params = jnp.asarray(recon.intrinsics[g])
@@ -279,11 +283,15 @@ class GlobalReconstructionEstimator:
                 pad *= 2
             pix = np.zeros((pad, 2))
             pix[: len(rows)] = recon.obs_uv[rows]
-            ray = np.asarray(
-                cam.pixel_to_normalized_batch(
-                    params, jnp.asarray(pix), model
-                )
+            launched.append(
+                (rows,
+                 cam.pixel_to_normalized_batch(params, jnp.asarray(pix), model))
             )
+        from ..utils.fetch import fetch
+
+        pulled = fetch([d for (_, d) in launched])
+        for (rows, _), ray_full in zip(launched, pulled):
+            ray = np.asarray(ray_full)
             norm_uv[rows] = (ray[:, :2] / ray[:, 2:3])[: len(rows)]
 
         for e, ((i, j), (rows_i, rows_j)) in enumerate(zip(edges, corr)):
@@ -305,6 +313,9 @@ class GlobalReconstructionEstimator:
             jnp.asarray(mask),
             jnp.asarray(init),
         )
+        from ..utils.fetch import fetch
+
+        refined, ok = fetch((refined, ok))  # one batched round trip
         refined = np.asarray(refined)
         ok = np.asarray(ok)
         for e, (i, j) in enumerate(edges):

@@ -187,6 +187,11 @@ def _normalized_obs_by_group(recon, obs_rows: np.ndarray):
     focal = np.ones((len(obs_rows),), recon.dtype)
     views = recon.obs_view[obs_rows]
     groups = recon.view_group[views]
+    # Launch every group's normalization first, then pull ALL results in a
+    # single batched device_get: a per-group blocking np.asarray costs one
+    # device->host round trip per intrinsics group (~30-60 ms tunneled),
+    # and free-intrinsics scenes have one group per camera.
+    launched = []
     for g in np.unique(groups):
         sel = groups == g
         rows = obs_rows[sel]
@@ -200,11 +205,15 @@ def _normalized_obs_by_group(recon, obs_rows: np.ndarray):
             pad *= 2
         pix = np.zeros((pad, 2), recon.dtype)
         pix[:k] = recon.obs_uv[rows]
-        n = np.asarray(
-            cam.pixel_to_normalized_batch(
-                params, jnp.asarray(pix), model
-            )
-        )[:k]
+        launched.append(
+            (sel, g, k,
+             cam.pixel_to_normalized_batch(params, jnp.asarray(pix), model))
+        )
+    from ..utils.fetch import fetch
+
+    pulled = fetch([d for (_, _, _, d) in launched])
+    for (sel, g, k, _), n_full in zip(launched, pulled):
+        n = np.asarray(n_full)[:k]
         norm[sel] = n[:, :2] / n[:, 2:3]
         focal[sel] = float(recon.intrinsics[g][0])
     return norm, focal
@@ -299,14 +308,19 @@ def estimate_tracks(
         bundle_adjustment=options.bundle_adjustment,
         ba_iterations=options.ba_iterations,
     )
+    from ..utils.fetch import fetch
+
+    points4, success = fetch((points4, success))  # one batched round trip
     points4 = np.asarray(points4, recon.dtype)
     success = np.asarray(success)
 
-    for i, t in enumerate(candidates):
-        if success[i]:
-            recon.points[t] = points4[i]
-            recon.track_estimated[t] = True
-            summary.estimated_tracks.add(int(t))
+    cand = np.asarray(list(candidates), np.int64)
+    sel = np.asarray(success[: len(cand)], bool)
+    idx = cand[sel]
+    if len(idx):
+        recon.points[idx] = points4[: len(cand)][sel]
+        recon.track_estimated[idx] = True
+        summary.estimated_tracks.update(int(t) for t in idx)
     return summary
 
 

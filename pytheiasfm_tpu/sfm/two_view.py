@@ -276,10 +276,16 @@ def estimate_two_view_info_batch(
         jnp.asarray(masks),
         jnp.asarray(thresh, dtype),
     )
+    # One batched pull for all four outputs (utils/fetch.py): four
+    # sequential np.asarray calls each pay a full device->host round
+    # trip, which dominates at fountain-size problems.
+    from ..utils.fetch import fetch
+
+    aa, position, inliers, num_inliers = fetch(
+        (aa, position, inliers, num_inliers)
+    )
     aa = np.asarray(aa, np.float64)
     position = np.asarray(position, np.float64)
-    inliers = np.asarray(inliers)
-    num_inliers = np.asarray(num_inliers)
 
     results = []
     for i in range(P):
